@@ -1,0 +1,244 @@
+"""RetrievalEngine vs a pure-numpy oracle for every retrieval mode.
+
+The oracle mirrors the Qdrant semantics: stored vectors cosine-normalized,
+MaxSim = sum_q max_d dot, pooled query = normalized mean of raw tokens.
+"""
+
+import numpy as np
+import pytest
+
+from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+from visual_rag_tpu.retrieval import RetrievalEngine, build_filter
+from visual_rag_tpu.retrieval.filters import PayloadFilter
+
+DIM = 32
+
+
+def _norm(x, axis=-1):
+    return x / (np.linalg.norm(x, axis=axis, keepdims=True) + 1e-12)
+
+
+class Oracle:
+    def __init__(self, points):
+        self.points = points
+
+    def maxsim(self, q_tokens, name, i):
+        d = _norm(np.asarray(self.points[i]["vectors"][name], dtype=np.float32))
+        if d.ndim == 1:
+            d = d[None, :]
+        sims = _norm(q_tokens) @ d.T
+        return float(sims.max(axis=1).sum())
+
+    def pooled_dot(self, q_tokens, name, i):
+        qp = _norm(q_tokens.mean(axis=0))
+        d = np.asarray(self.points[i]["vectors"][name], dtype=np.float32)
+        if d.ndim == 1:
+            return float(qp @ _norm(d))
+        return float((_norm(d) @ qp).max())
+
+    def rank(self, scores, k):
+        order = np.argsort(-np.asarray(scores), kind="stable")
+        return order[:k]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(42)
+    points = []
+    for i in range(37):
+        points.append(
+            {
+                "id": f"doc{i}",
+                "vectors": {
+                    "initial": rng.standard_normal(
+                        (int(rng.integers(5, 60)), DIM)).astype(np.float32),
+                    "mean_pooling": rng.standard_normal(
+                        (int(rng.integers(3, 12)), DIM)).astype(np.float32),
+                    "experimental_pooling": rng.standard_normal(
+                        (int(rng.integers(3, 14)), DIM)).astype(np.float32),
+                    "global_pooling": rng.standard_normal((DIM,)).astype(np.float32),
+                },
+                "payload": {"year": 2020 + (i % 3), "source": f"s{i % 2}", "i": i},
+            }
+        )
+    schema = CollectionSchema.standard(storage_dtype="float32", dim=DIM)
+    builder = IndexBuilder(schema)
+    builder.upload_batch(points)
+    index = builder.seal()
+    engine = RetrievalEngine(index, compute_dtype="float32")
+    query = np.random.default_rng(7).standard_normal((9, DIM)).astype(np.float32)
+    return points, engine, Oracle(points), query
+
+
+SINGLE_MODES = {
+    "single_full": ("maxsim", "initial"),
+    "single_tiles": ("maxsim", "mean_pooling"),
+    "single_pooled": ("pooled", "mean_pooling"),
+    "single_global": ("pooled", "global_pooling"),
+    "single_experimental_tokens": ("maxsim", "experimental_pooling"),
+    "single_experimental_pooled": ("pooled", "experimental_pooling"),
+}
+
+
+class TestSingleStage:
+    @pytest.mark.parametrize("mode", sorted(SINGLE_MODES))
+    def test_matches_oracle(self, corpus, mode):
+        points, engine, oracle, query = corpus
+        kind, name = SINGLE_MODES[mode]
+        fn = oracle.maxsim if kind == "maxsim" else oracle.pooled_dot
+        expected_scores = [fn(query, name, i) for i in range(len(points))]
+        expected_top = oracle.rank(expected_scores, 5)
+        results = engine.search_embedded(query, mode=mode, top_k=5)
+        assert [r["id"] for r in results] == [points[i]["id"] for i in expected_top]
+        got = [r["score"] for r in results]
+        np.testing.assert_allclose(
+            got, [expected_scores[i] for i in expected_top], rtol=2e-4, atol=2e-4)
+        assert results[0]["score_final"] == results[0]["score"]
+        assert "payload" in results[0]
+
+    def test_top_k_larger_than_corpus(self, corpus):
+        points, engine, oracle, query = corpus
+        results = engine.search_embedded(query, mode="single_global", top_k=1000)
+        assert len(results) == len(points)
+
+
+class TestTwoStage:
+    @pytest.mark.parametrize(
+        "stage1_mode",
+        [
+            "pooled_query_vs_standard_pooling",
+            "tokens_vs_standard_pooling",
+            "pooled_query_vs_experimental_pooling",
+            "tokens_vs_experimental_pooling",
+            "pooled_query_vs_global",
+        ],
+    )
+    def test_matches_oracle(self, corpus, stage1_mode):
+        points, engine, oracle, query = corpus
+        n = len(points)
+        prefetch_k = 12
+        if stage1_mode == "pooled_query_vs_standard_pooling":
+            s1 = [oracle.pooled_dot(query, "mean_pooling", i) for i in range(n)]
+        elif stage1_mode == "tokens_vs_standard_pooling":
+            s1 = [oracle.maxsim(query, "mean_pooling", i) for i in range(n)]
+        elif stage1_mode == "pooled_query_vs_experimental_pooling":
+            s1 = [oracle.pooled_dot(query, "experimental_pooling", i) for i in range(n)]
+        elif stage1_mode == "tokens_vs_experimental_pooling":
+            s1 = [oracle.maxsim(query, "experimental_pooling", i) for i in range(n)]
+        else:
+            s1 = [oracle.pooled_dot(query, "global_pooling", i) for i in range(n)]
+        cands = oracle.rank(s1, prefetch_k)
+        rr = {i: oracle.maxsim(query, "initial", i) for i in cands}
+        expected = sorted(rr, key=lambda i: -rr[i])[:5]
+        results = engine.search_embedded(
+            query, mode="two_stage", top_k=5, prefetch_k=prefetch_k, stage1_mode=stage1_mode)
+        assert [r["id"] for r in results] == [points[i]["id"] for i in expected]
+        np.testing.assert_allclose(
+            [r["score_final"] for r in results], [rr[i] for i in expected],
+            rtol=2e-4, atol=2e-4)
+
+    def test_deprecated_stage1_aliases(self, corpus):
+        points, engine, oracle, query = corpus
+        a = engine.search_embedded(
+            query, mode="two_stage", top_k=3, stage1_mode="pooled_query_vs_tiles")
+        b = engine.search_embedded(
+            query, mode="two_stage", top_k=3,
+            stage1_mode="pooled_query_vs_standard_pooling")
+        assert [r["id"] for r in a] == [r["id"] for r in b]
+
+    def test_default_prefetch_k(self, corpus):
+        points, engine, oracle, query = corpus
+        # default prefetch = max(100, 10*top_k) > corpus -> equals exhaustive rerank
+        results = engine.search_embedded(query, mode="two_stage", top_k=4)
+        full = {i: oracle.maxsim(query, "initial", i) for i in range(len(points))}
+        expected = sorted(full, key=lambda i: -full[i])[:4]
+        assert [r["id"] for r in results] == [points[i]["id"] for i in expected]
+
+    def test_unknown_stage1_raises(self, corpus):
+        _, engine, _, query = corpus
+        with pytest.raises(ValueError, match="stage1_mode"):
+            engine.search_embedded(query, mode="two_stage", stage1_mode="bogus")
+
+
+class TestThreeStage:
+    def test_matches_oracle(self, corpus):
+        points, engine, oracle, query = corpus
+        n = len(points)
+        stage1_k, stage2_k, top_k = 20, 10, 5
+        s1 = [oracle.pooled_dot(query, "global_pooling", i) for i in range(n)]
+        c1 = set(oracle.rank(s1, stage1_k))
+        s2 = {i: oracle.maxsim(query, "experimental_pooling", i) for i in c1}
+        c2 = sorted(s2, key=lambda i: -s2[i])[:stage2_k]
+        s3 = {i: oracle.maxsim(query, "initial", i) for i in c2}
+        expected = sorted(s3, key=lambda i: -s3[i])[:top_k]
+        results = engine.search_embedded(
+            query, mode="three_stage", top_k=top_k, stage1_k=stage1_k, stage2_k=stage2_k)
+        assert [r["id"] for r in results] == [points[i]["id"] for i in expected]
+        for r, i in zip(results, expected):
+            assert r["score_final"] == pytest.approx(s3[i], rel=2e-4)
+            assert r["score_stage3"] == r["score_final"]
+            assert r["score_stage1"] == pytest.approx(s1[i], rel=2e-3, abs=2e-3)
+            assert r["score_stage2"] == pytest.approx(s2[i], rel=2e-3, abs=2e-3)
+
+
+class TestFilters:
+    def test_filter_restricts_results(self, corpus):
+        points, engine, oracle, query = corpus
+        f = build_filter(year=2021)
+        results = engine.search_embedded(query, mode="single_full", top_k=50, filter_obj=f)
+        assert results, "filter should still match some docs"
+        for r in results:
+            assert r["payload"]["year"] == 2021
+        allowed = [i for i, p in enumerate(points) if p["payload"]["year"] == 2021]
+        scores = {i: oracle.maxsim(query, "initial", i) for i in allowed}
+        expected = sorted(scores, key=lambda i: -scores[i])
+        assert [r["id"] for r in results] == [points[i]["id"] for i in expected]
+
+    def test_match_any(self, corpus):
+        points, engine, _, query = corpus
+        f = build_filter(year=[2020, 2021])
+        results = engine.search_embedded(query, mode="single_global", top_k=50, filter_obj=f)
+        assert {r["payload"]["year"] for r in results} <= {2020, 2021}
+
+    def test_id_filter(self, corpus):
+        points, engine, _, query = corpus
+        ids = [points[3]["id"], points[5]["id"]]
+        f = PayloadFilter(ids=ids)
+        results = engine.search_embedded(query, mode="two_stage", top_k=10, filter_obj=f)
+        assert sorted(r["id"] for r in results) == sorted(ids)
+
+    def test_filter_in_two_stage(self, corpus):
+        points, engine, oracle, query = corpus
+        f = build_filter(source="s1")
+        results = engine.search_embedded(
+            query, mode="two_stage", top_k=5, prefetch_k=8, filter_obj=f)
+        for r in results:
+            assert r["payload"]["source"] == "s1"
+
+
+class TestModesSurface:
+    def test_unknown_mode_raises(self, corpus):
+        _, engine, _, query = corpus
+        with pytest.raises(ValueError, match="Unknown mode"):
+            engine.search_embedded(query, mode="warp_drive")
+
+    def test_1d_query_promoted(self, corpus):
+        _, engine, _, query = corpus
+        res = engine.search_embedded(query[0], mode="single_global", top_k=3)
+        assert len(res) == 3
+
+
+class TestInt8Engine:
+    def test_int8_close_to_f32(self, corpus):
+        points, _, oracle, query = corpus
+        schema = CollectionSchema.standard(storage_dtype="int8", dim=DIM)
+        builder = IndexBuilder(schema)
+        builder.upload_batch(points)
+        engine8 = RetrievalEngine(builder.seal(), compute_dtype="float32")
+        res = engine8.search_embedded(query, mode="two_stage", top_k=5, prefetch_k=12)
+        full = {i: oracle.maxsim(query, "initial", i) for i in range(len(points))}
+        best = sorted(full, key=lambda i: -full[i])[:5]
+        # int8 quantization may swap near-ties; require top-1 agreement and
+        # score agreement within quantization tolerance
+        assert res[0]["id"] == points[best[0]]["id"]
+        assert res[0]["score_final"] == pytest.approx(full[best[0]], rel=0.02, abs=0.05)

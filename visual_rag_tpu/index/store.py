@@ -1,0 +1,271 @@
+"""HBM-resident vector stores: padded, ragged, and single-vector layouts.
+
+Design (SURVEY §7.1): the Qdrant collection's named vectors become device
+arrays —
+
+- :class:`PaddedMultiVectors` — pooled representations have a small, bounded
+  row count (<= a few dozen), so they are stored dense ``[D, P, dim]`` with a
+  validity mask. MaxSim over the whole corpus is then ONE einsum + masked max:
+  ideal MXU shape, no segments, no scatter.
+- :class:`RaggedMultiVectors` — the full ``initial`` token store is ragged
+  (hundreds-to-thousands of tokens per page, reference stores it on_disk).
+  Padding-free flat ``[total_tokens, dim]`` plus per-doc ``(offset, length)``;
+  candidate gather happens only for reranked docs.
+- :class:`SingleVectors` — dense ``[D, dim]`` (``global_pooling``).
+
+All stores hold vectors **cosine-normalized at seal time** (Qdrant normalizes
+on upsert for cosine distance — reference qdrant_indexer.py:205-239), in a
+configurable storage dtype: float32 / bfloat16 / float16 / int8 (int8 carries
+per-row scales, BASELINE config[4]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_DIM = 128
+
+_STORAGE_DTYPES = ("float32", "bfloat16", "float16", "int8")
+
+
+def _normalize_rows(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=-1, keepdims=True)
+    return (x / np.maximum(norms, eps)).astype(np.float32)
+
+
+def quantize_rows_int8(x: np.ndarray):
+    """Per-row symmetric int8 quantization: scale = max|row| / 127."""
+    absmax = np.abs(x).max(axis=-1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(x / scales[..., None]), -127, 127).astype(np.int8)
+    return q, scales
+
+
+def _pack_storage(x: np.ndarray, storage_dtype: str):
+    """Normalized f32 rows -> (values, scales-or-None) in the storage dtype."""
+    if storage_dtype == "int8":
+        return quantize_rows_int8(x)
+    return x.astype(jnp.dtype(storage_dtype)), None
+
+
+@dataclasses.dataclass
+class PaddedMultiVectors:
+    """Dense padded multivector store: values [D, P, dim], mask [D, P]."""
+
+    values: jnp.ndarray  # [D, P, dim] storage dtype
+    mask: jnp.ndarray  # [D, P] bool
+    scales: Optional[jnp.ndarray] = None  # [D, P] f32 for int8 storage
+    kind: str = "multi"
+
+    @property
+    def num_docs(self) -> int:
+        return int(self.values.shape[0])
+
+    @property
+    def max_rows(self) -> int:
+        return int(self.values.shape[1])
+
+    @property
+    def dim(self) -> int:
+        return int(self.values.shape[2])
+
+    @property
+    def storage_dtype(self) -> str:
+        return str(self.values.dtype)
+
+    def nbytes(self) -> int:
+        n = self.values.size * self.values.dtype.itemsize + self.mask.size
+        if self.scales is not None:
+            n += self.scales.size * 4
+        return n
+
+    def dequantized(self, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+        """Values in a matmul-ready dtype (int8 rows rescaled)."""
+        if self.scales is not None:
+            return (self.values.astype(jnp.float32) * self.scales[..., None]).astype(compute_dtype)
+        return self.values.astype(compute_dtype)
+
+    @classmethod
+    def build(cls, mats, storage_dtype: str = "bfloat16", max_rows: Optional[int] = None,
+              dim: Optional[int] = None):
+        """Stack ragged host matrices [n_i, dim] into a padded device store."""
+        mats = [np.asarray(m, dtype=np.float32) for m in mats]
+        dim = mats[0].shape[1] if mats else (dim or DEFAULT_DIM)
+        if max_rows is None:
+            max_rows = max((m.shape[0] for m in mats), default=1)
+        max_rows = max(1, int(max_rows))
+        d = len(mats)
+        out = np.zeros((d, max_rows, dim), dtype=np.float32)
+        mask = np.zeros((d, max_rows), dtype=bool)
+        for i, m in enumerate(mats):
+            t = min(m.shape[0], max_rows)
+            if t:
+                out[i, :t] = _normalize_rows(m[:t])
+                mask[i, :t] = True
+        values, scales = _pack_storage(out, storage_dtype)
+        return cls(
+            values=jnp.asarray(values),
+            mask=jnp.asarray(mask),
+            scales=None if scales is None else jnp.asarray(scales),
+        )
+
+
+@dataclasses.dataclass
+class RaggedMultiVectors:
+    """Padding-free ragged token store: flat [N, dim] + per-doc offset table."""
+
+    flat: jnp.ndarray  # [total_tokens, dim] storage dtype
+    offsets: jnp.ndarray  # [D] int32
+    lengths: jnp.ndarray  # [D] int32
+    max_len: int  # max tokens per doc (static gather width)
+    scales: Optional[jnp.ndarray] = None  # [total_tokens] f32 for int8
+    kind: str = "multi_ragged"
+
+    @property
+    def num_docs(self) -> int:
+        return int(self.offsets.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.flat.shape[1])
+
+    @property
+    def total_tokens(self) -> int:
+        return int(self.flat.shape[0])
+
+    @property
+    def storage_dtype(self) -> str:
+        return str(self.flat.dtype)
+
+    def nbytes(self) -> int:
+        n = self.flat.size * self.flat.dtype.itemsize + self.offsets.size * 8
+        if self.scales is not None:
+            n += self.scales.size * 4
+        return n
+
+    @classmethod
+    def build(cls, mats, storage_dtype: str = "bfloat16", dim: Optional[int] = None):
+        mats = [np.asarray(m, dtype=np.float32) for m in mats]
+        dim = mats[0].shape[1] if mats else (dim or DEFAULT_DIM)
+        lengths = np.array([m.shape[0] for m in mats], dtype=np.int32)
+        offsets = np.zeros_like(lengths)
+        if len(mats):
+            offsets[1:] = np.cumsum(lengths)[:-1]
+        total = int(lengths.sum())
+        flat = np.zeros((max(total, 1), dim), dtype=np.float32)
+        pos = 0
+        for m in mats:
+            if m.shape[0]:
+                flat[pos : pos + m.shape[0]] = _normalize_rows(m)
+                pos += m.shape[0]
+        values, scales = _pack_storage(flat, storage_dtype)
+        return cls(
+            flat=jnp.asarray(values),
+            offsets=jnp.asarray(offsets),
+            lengths=jnp.asarray(lengths),
+            max_len=int(lengths.max()) if len(mats) else 1,
+            scales=None if scales is None else jnp.asarray(scales),
+        )
+
+
+@dataclasses.dataclass
+class SingleVectors:
+    """Dense single-vector store: values [D, dim] (e.g. global_pooling)."""
+
+    values: jnp.ndarray  # [D, dim]
+    scales: Optional[jnp.ndarray] = None  # [D] f32 for int8
+    kind: str = "single"
+
+    @property
+    def num_docs(self) -> int:
+        return int(self.values.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.values.shape[1])
+
+    @property
+    def storage_dtype(self) -> str:
+        return str(self.values.dtype)
+
+    def nbytes(self) -> int:
+        n = self.values.size * self.values.dtype.itemsize
+        if self.scales is not None:
+            n += self.scales.size * 4
+        return n
+
+    def dequantized(self, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+        if self.scales is not None:
+            return (self.values.astype(jnp.float32) * self.scales[:, None]).astype(compute_dtype)
+        return self.values.astype(compute_dtype)
+
+    @classmethod
+    def build(cls, vecs, storage_dtype: str = "bfloat16", dim: Optional[int] = None):
+        if len(vecs) == 0:
+            arr = np.zeros((0, dim or DEFAULT_DIM), dtype=np.float32)
+        else:
+            arr = np.asarray(vecs, dtype=np.float32)
+        if arr.ndim != 2:
+            arr = arr.reshape(len(vecs), -1)
+        arr = _normalize_rows(arr)
+        values, scales = _pack_storage(arr, storage_dtype)
+        return cls(
+            values=jnp.asarray(values),
+            scales=None if scales is None else jnp.asarray(scales),
+        )
+
+
+@dataclasses.dataclass
+class SealedIndex:
+    """An immutable device-resident collection snapshot ready for queries."""
+
+    stores: Dict[str, object]  # name -> Padded/Ragged/Single store
+    manifest: "object"  # visual_rag_tpu.index.manifest.Manifest
+    storage_dtype: str = "bfloat16"
+
+    @property
+    def num_docs(self) -> int:
+        for s in self.stores.values():
+            return s.num_docs
+        return 0
+
+    @property
+    def vector_names(self):
+        return sorted(self.stores.keys())
+
+    def store(self, name: str):
+        if name not in self.stores:
+            raise KeyError(
+                f"Named vector {name!r} not in collection (have: {self.vector_names})"
+            )
+        return self.stores[name]
+
+    def nbytes(self) -> int:
+        return sum(s.nbytes() for s in self.stores.values())
+
+    def info(self) -> Dict[str, object]:
+        """Collection introspection (reference: qdrant_indexer.get_collection_info)."""
+        return {
+            "points_count": self.num_docs,
+            "vectors": {
+                name: {
+                    "kind": s.kind,
+                    "storage_dtype": s.storage_dtype,
+                    "nbytes": s.nbytes(),
+                    **(
+                        {"max_rows": s.max_rows}
+                        if isinstance(s, PaddedMultiVectors)
+                        else {"max_len": s.max_len, "total_tokens": s.total_tokens}
+                        if isinstance(s, RaggedMultiVectors)
+                        else {}
+                    ),
+                }
+                for name, s in self.stores.items()
+            },
+            "index_nbytes": self.nbytes(),
+            "status": "green",
+        }

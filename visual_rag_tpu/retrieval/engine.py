@@ -1,0 +1,305 @@
+"""RetrievalEngine: the in-process query planner over a SealedIndex.
+
+This is the TPU-native equivalent of the reference's retriever stack
+(SingleStageRetriever / TwoStageRetriever / ThreeStageRetriever behind the
+MultiVectorRetriever facade — SURVEY §2 #14-17). One class covers every mode
+because all plans compose the same four device primitives:
+
+    score_padded_tokens / score_padded_pooled_query / score_single
+        -> stage-1 prefetch scores over a pooled store (replaces HNSW; exact)
+    rerank_ragged
+        -> exact MaxSim on candidates' full token matrices (replaces Qdrant
+           server-side ``exact=True`` rerank)
+
+Mode surface (facade parity, reference multi_vector.py:192-247):
+    single_full | single_tiles | single_pooled | single_global |
+    single_experimental_tokens | single_experimental_pooled |
+    two_stage (5 stage-1 modes) | three_stage
+
+The reference facade's known three_stage TypeError (multi_vector.py:238-245)
+is intentionally NOT replicated; three_stage accepts stage1_k/stage2_k here.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_rag_tpu.index.store import (
+    PaddedMultiVectors,
+    RaggedMultiVectors,
+    SealedIndex,
+    SingleVectors,
+)
+from visual_rag_tpu.retrieval.filters import PayloadFilter
+from visual_rag_tpu.retrieval.scoring import (
+    NEG_INF,
+    rerank_ragged,
+    score_padded_pooled_query,
+    score_padded_tokens,
+    score_ragged_all,
+    score_single,
+    topk_masked,
+)
+
+logger = logging.getLogger(__name__)
+
+STAGE1_MODES = (
+    "pooled_query_vs_standard_pooling",
+    "tokens_vs_standard_pooling",
+    "pooled_query_vs_experimental_pooling",
+    "tokens_vs_experimental_pooling",
+    "pooled_query_vs_global",
+)
+
+# Deprecated stage-1 aliases (reference two_stage.py:131-139)
+_STAGE1_ALIASES = {
+    "pooled_query_vs_tiles": "pooled_query_vs_standard_pooling",
+    "tokens_vs_tiles": "tokens_vs_standard_pooling",
+    "pooled_query_vs_experimental": "pooled_query_vs_experimental_pooling",
+    "tokens_vs_experimental": "tokens_vs_experimental_pooling",
+}
+
+SEARCH_MODES = (
+    "single_full",
+    "single_tiles",
+    "single_pooled",
+    "single_global",
+    "single_experimental_tokens",
+    "single_experimental_pooled",
+    "two_stage",
+    "three_stage",
+)
+
+
+def _l2n(x: np.ndarray, eps: float = 1e-8) -> np.ndarray:
+    return x / (np.linalg.norm(x, axis=-1, keepdims=True) + eps)
+
+
+class RetrievalEngine:
+    """Query planner over one sealed collection."""
+
+    def __init__(
+        self,
+        index: SealedIndex,
+        full_vector_name: str = "initial",
+        pooled_vector_name: str = "mean_pooling",
+        global_vector_name: str = "global_pooling",
+        experimental_vector_name: str = "experimental_pooling",
+        compute_dtype: Optional[str] = None,
+        rerank_chunk: int = 256,
+    ):
+        self.index = index
+        self.full_vector_name = full_vector_name
+        self.pooled_vector_name = pooled_vector_name
+        self.global_vector_name = global_vector_name
+        self.experimental_vector_name = experimental_vector_name
+        if compute_dtype is None:
+            compute_dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        self.compute_dtype = compute_dtype
+        self.rerank_chunk = int(rerank_chunk)
+
+    # -- query preparation ---------------------------------------------------
+
+    def _prep_query(self, query_embedding) -> Dict[str, jnp.ndarray]:
+        q = np.asarray(query_embedding, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        q_tokens = _l2n(q)  # cosine: normalize each token
+        q_pooled = _l2n(q.mean(axis=0))  # pooled query = mean of RAW tokens, then cosine-normalized
+        return {
+            "tokens": jnp.asarray(q_tokens),
+            "pooled": jnp.asarray(q_pooled),
+        }
+
+    def _doc_mask(self, filter_obj: Optional[PayloadFilter]) -> Optional[jnp.ndarray]:
+        if filter_obj is None or filter_obj.is_empty():
+            return None
+        return jnp.asarray(filter_obj.evaluate(self.index.manifest))
+
+    # -- store-level scoring -------------------------------------------------
+
+    def _score_store_tokens(self, name: str, q_tokens: jnp.ndarray) -> jnp.ndarray:
+        store = self.index.store(name)
+        if isinstance(store, PaddedMultiVectors):
+            return score_padded_tokens(
+                store.values, store.mask, q_tokens, store.scales,
+                compute_dtype=self.compute_dtype,
+            )
+        if isinstance(store, RaggedMultiVectors):
+            return score_ragged_all(
+                store.flat, store.offsets, store.lengths, q_tokens, store.max_len,
+                scales=store.scales, chunk=self.rerank_chunk,
+                compute_dtype=self.compute_dtype,
+            )
+        # Single-vector store scored with tokens: sum_q max over the single
+        # row = sum_q dot (Qdrant treats the single vector as a 1-row doc).
+        sims = score_single(store.values, q_tokens[0], store.scales,
+                            compute_dtype=self.compute_dtype)
+        for i in range(1, int(q_tokens.shape[0])):
+            sims = sims + score_single(store.values, q_tokens[i], store.scales,
+                                       compute_dtype=self.compute_dtype)
+        return sims
+
+    def _score_store_pooled(self, name: str, q_pooled: jnp.ndarray) -> jnp.ndarray:
+        store = self.index.store(name)
+        if isinstance(store, PaddedMultiVectors):
+            return score_padded_pooled_query(
+                store.values, store.mask, q_pooled, store.scales,
+                compute_dtype=self.compute_dtype,
+            )
+        if isinstance(store, SingleVectors):
+            return score_single(store.values, q_pooled, store.scales,
+                                compute_dtype=self.compute_dtype)
+        raise ValueError(f"pooled-query scoring unsupported for store {name!r} ({store.kind})")
+
+    def _stage1_scores(self, stage1_mode: str, q) -> jnp.ndarray:
+        mode = _STAGE1_ALIASES.get(stage1_mode, stage1_mode)
+        if mode == "pooled_query_vs_standard_pooling":
+            return self._score_store_pooled(self.pooled_vector_name, q["pooled"])
+        if mode == "tokens_vs_standard_pooling":
+            return self._score_store_tokens(self.pooled_vector_name, q["tokens"])
+        if mode == "pooled_query_vs_experimental_pooling":
+            return self._score_store_pooled(self.experimental_vector_name, q["pooled"])
+        if mode == "tokens_vs_experimental_pooling":
+            return self._score_store_tokens(self.experimental_vector_name, q["tokens"])
+        if mode == "pooled_query_vs_global":
+            return self._score_store_pooled(self.global_vector_name, q["pooled"])
+        raise ValueError(f"Unknown stage1_mode: {stage1_mode}")
+
+    # -- candidate selection -------------------------------------------------
+
+    def _topk_candidates(self, scores, k: int, doc_mask):
+        k = max(1, min(int(k), self.index.num_docs))
+        vals, idx = topk_masked(scores, k, doc_mask)
+        valid = vals > (NEG_INF / 2)
+        cand = jnp.where(valid, idx, -1).astype(jnp.int32)
+        return vals, cand
+
+    def _rerank(self, q_tokens: jnp.ndarray, candidates: jnp.ndarray) -> jnp.ndarray:
+        store = self.index.store(self.full_vector_name)
+        if not isinstance(store, RaggedMultiVectors):
+            raise ValueError(f"{self.full_vector_name!r} must be a ragged token store")
+        return rerank_ragged(
+            store.flat, store.offsets, store.lengths, q_tokens, candidates,
+            store.max_len, scales=store.scales, compute_dtype=self.compute_dtype,
+        )
+
+    # -- result assembly -----------------------------------------------------
+
+    def _results(self, idx: np.ndarray, with_payload: bool, **score_cols) -> List[Dict[str, Any]]:
+        out: List[Dict[str, Any]] = []
+        manifest = self.index.manifest
+        for rank, i in enumerate(np.asarray(idx)):
+            i = int(i)
+            if i < 0:
+                continue
+            first_scores = next(iter(score_cols.values()))
+            if float(np.asarray(first_scores)[rank]) <= float(NEG_INF) / 2:
+                continue
+            rec: Dict[str, Any] = {"id": manifest.ids[i], "rank": rank}
+            for col, arr in score_cols.items():
+                rec[col] = float(np.asarray(arr)[rank])
+            rec.setdefault("score_final", rec.get("score", rec.get("score_stage2")))
+            if with_payload:
+                rec["payload"] = manifest.payload(i)
+            out.append(rec)
+        return out
+
+    # -- public search API ---------------------------------------------------
+
+    def search_embedded(
+        self,
+        query_embedding,
+        mode: str = "two_stage",
+        top_k: int = 10,
+        prefetch_k: Optional[int] = None,
+        stage1_mode: str = "pooled_query_vs_standard_pooling",
+        stage1_k: Optional[int] = None,
+        stage2_k: Optional[int] = None,
+        filter_obj: Optional[PayloadFilter] = None,
+        with_payload: bool = True,
+    ) -> List[Dict[str, Any]]:
+        """Search with a precomputed query embedding [nq, dim].
+
+        Facade parity: reference MultiVectorRetriever.search_embedded
+        (multi_vector.py:179-247).
+        """
+        if mode not in SEARCH_MODES:
+            raise ValueError(f"Unknown mode: {mode}. Choose one of {SEARCH_MODES}")
+        if self.index.num_docs == 0:
+            return []
+        q = self._prep_query(query_embedding)
+        doc_mask = self._doc_mask(filter_obj)
+
+        if mode.startswith("single_"):
+            return self._search_single(mode, q, top_k, doc_mask, with_payload)
+        if mode == "two_stage":
+            return self._search_two_stage(
+                q, top_k, prefetch_k, stage1_mode, doc_mask, with_payload
+            )
+        return self._search_three_stage(
+            q, top_k, stage1_k or 1000, stage2_k or 300, doc_mask, with_payload
+        )
+
+    def _search_single(self, mode, q, top_k, doc_mask, with_payload):
+        """Single query_points call equivalents (reference single_stage.py:81-121)."""
+        if mode == "single_full":
+            scores = self._score_store_tokens(self.full_vector_name, q["tokens"])
+        elif mode == "single_tiles":
+            scores = self._score_store_tokens(self.pooled_vector_name, q["tokens"])
+        elif mode == "single_pooled":
+            scores = self._score_store_pooled(self.pooled_vector_name, q["pooled"])
+        elif mode == "single_global":
+            scores = self._score_store_pooled(self.global_vector_name, q["pooled"])
+        elif mode == "single_experimental_tokens":
+            scores = self._score_store_tokens(self.experimental_vector_name, q["tokens"])
+        elif mode == "single_experimental_pooled":
+            scores = self._score_store_pooled(self.experimental_vector_name, q["pooled"])
+        else:  # pragma: no cover
+            raise ValueError(mode)
+        vals, idx = self._topk_candidates(scores, top_k, doc_mask)
+        return self._results(np.asarray(idx), with_payload, score=np.asarray(vals))
+
+    def _search_two_stage(self, q, top_k, prefetch_k, stage1_mode, doc_mask, with_payload):
+        """Pooled prefetch -> exact MaxSim rerank (reference two_stage.py:102-191)."""
+        if prefetch_k is None:
+            prefetch_k = max(100, top_k * 10)  # reference default (two_stage.py:128-129)
+        s1_scores = self._stage1_scores(stage1_mode, q)
+        _, candidates = self._topk_candidates(s1_scores, prefetch_k, doc_mask)
+        rr = self._rerank(q["tokens"], candidates)
+        k = max(1, min(int(top_k), int(candidates.shape[0])))
+        vals, pos = jax.lax.top_k(rr, k)
+        final_idx = jnp.where(vals > NEG_INF / 2, candidates[pos], -1)
+        return self._results(
+            np.asarray(final_idx), with_payload,
+            score_stage2=np.asarray(vals), score_final=np.asarray(vals),
+        )
+
+    def _search_three_stage(self, q, top_k, stage1_k, stage2_k, doc_mask, with_payload):
+        """global -> experimental tokens -> exact cascade (reference three_stage.py:83-173)."""
+        # Stage 1: pooled query vs global vectors
+        s1 = self._score_store_pooled(self.global_vector_name, q["pooled"])
+        _, c1 = self._topk_candidates(s1, stage1_k, doc_mask)
+        # Stage 2: query tokens vs experimental pooling, restricted to stage-1 ids
+        d = self.index.num_docs
+        m1 = jnp.zeros((d,), dtype=bool).at[jnp.maximum(c1, 0)].set(c1 >= 0)
+        s2 = self._score_store_tokens(self.experimental_vector_name, q["tokens"])
+        _, c2 = self._topk_candidates(s2, stage2_k, m1)
+        # Stage 3: exact MaxSim on initial, restricted to stage-2 ids
+        rr = self._rerank(q["tokens"], c2)
+        k = max(1, min(int(top_k), int(c2.shape[0])))
+        vals, pos = jax.lax.top_k(rr, k)
+        final_idx = jnp.where(vals > NEG_INF / 2, c2[pos], -1)
+        fi = jnp.maximum(final_idx, 0)
+        return self._results(
+            np.asarray(final_idx), with_payload,
+            score_stage3=np.asarray(vals),
+            score_final=np.asarray(vals),
+            score_stage1=np.asarray(s1[fi]),
+            score_stage2=np.asarray(s2[fi]),
+        )

@@ -1,0 +1,196 @@
+"""Jitted scoring primitives over the device stores.
+
+These are the XLA compute paths that replace Qdrant's Rust scoring core
+(HNSW prefetch + MAX_SIM comparator). Shapes are static per (corpus, k)
+combination, so each variant compiles once and is cached by jax.jit.
+
+Dequantization trick for int8 storage: similarities are computed against the
+*raw* int8 codes cast to the compute dtype and the per-row scales are applied
+to the similarity matrix afterwards — ``<q, s*v> == s * <q, v>`` — so the
+dequantized store is never materialized in HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _apply_mask(scores: jnp.ndarray, doc_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if doc_mask is None:
+        return scores
+    return jnp.where(doc_mask, scores, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# Padded multivector stores (pooled representations)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def score_padded_tokens(
+    values: jnp.ndarray,  # [D, P, dim] storage dtype (possibly int8 codes)
+    mask: jnp.ndarray,  # [D, P]
+    query: jnp.ndarray,  # [nq, dim] f32, normalized
+    scales: Optional[jnp.ndarray] = None,  # [D, P]
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """MaxSim(query tokens, padded doc rows) for every doc -> [D] f32."""
+    cd = jnp.dtype(compute_dtype)
+    sims = jnp.einsum(
+        "qd,npd->nqp",
+        query.astype(cd),
+        values.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    if scales is not None:
+        sims = sims * scales[:, None, :]
+    sims = jnp.where(mask[:, None, :], sims, NEG_INF)
+    per_q = jnp.max(sims, axis=2)  # [D, nq]
+    has_rows = jnp.any(mask, axis=1)
+    per_q = jnp.where(has_rows[:, None], per_q, 0.0)
+    return jnp.sum(per_q, axis=1)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def score_padded_pooled_query(
+    values: jnp.ndarray,  # [D, P, dim]
+    mask: jnp.ndarray,  # [D, P]
+    query_vec: jnp.ndarray,  # [dim] f32, normalized
+    scales: Optional[jnp.ndarray] = None,
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Single pooled query vs multivector docs: max-dot per doc -> [D] f32.
+
+    (Qdrant MAX_SIM with a 1-token query degenerates to max over doc rows.)
+    """
+    cd = jnp.dtype(compute_dtype)
+    sims = jnp.einsum(
+        "d,npd->np", query_vec.astype(cd), values.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    if scales is not None:
+        sims = sims * scales
+    sims = jnp.where(mask, sims, NEG_INF)
+    out = jnp.max(sims, axis=1)
+    return jnp.where(jnp.any(mask, axis=1), out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Single-vector stores (global pooling)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def score_single(
+    values: jnp.ndarray,  # [D, dim]
+    query_vec: jnp.ndarray,  # [dim]
+    scales: Optional[jnp.ndarray] = None,
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    cd = jnp.dtype(compute_dtype)
+    out = jnp.einsum(
+        "d,nd->n", query_vec.astype(cd), values.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    if scales is not None:
+        out = out * scales
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ragged token store (initial): candidate rerank + full exact scan
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_len", "compute_dtype"))
+def rerank_ragged(
+    flat: jnp.ndarray,  # [N, dim] storage dtype
+    offsets: jnp.ndarray,  # [D] int32
+    lengths: jnp.ndarray,  # [D] int32
+    query: jnp.ndarray,  # [nq, dim] f32 normalized
+    candidates: jnp.ndarray,  # [k] int32 doc indices (may contain -1 padding)
+    max_len: int,
+    scales: Optional[jnp.ndarray] = None,  # [N]
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Exact MaxSim on the full token matrices of k candidate docs -> [k] f32.
+
+    Gathers each candidate's token block via its offset table (bounded by the
+    static ``max_len``), computes Q·Dᵀ with fp32 accumulation, masks padding,
+    row-maxes and sums. This is the stage-2 rerank the reference runs inside
+    Qdrant with ``exact=True`` (two_stage.py:161-180).
+    """
+    cd = jnp.dtype(compute_dtype)
+    cand = jnp.maximum(candidates, 0)
+    valid_cand = candidates >= 0
+    offs = offsets[cand]  # [k]
+    lens = jnp.where(valid_cand, lengths[cand], 0)  # [k]
+    total = flat.shape[0]
+    token_idx = offs[:, None] + jnp.arange(max_len, dtype=jnp.int32)[None, :]  # [k, T]
+    token_mask = jnp.arange(max_len, dtype=jnp.int32)[None, :] < lens[:, None]
+    token_idx = jnp.clip(token_idx, 0, total - 1)
+    docs = flat[token_idx]  # [k, T, dim] gather
+    sims = jnp.einsum(
+        "qd,ktd->kqt", query.astype(cd), docs.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    if scales is not None:
+        sims = sims * scales[token_idx][:, None, :]
+    sims = jnp.where(token_mask[:, None, :], sims, NEG_INF)
+    per_q = jnp.max(sims, axis=2)  # [k, nq]
+    has_tokens = jnp.any(token_mask, axis=1)
+    per_q = jnp.where(has_tokens[:, None], per_q, 0.0)
+    scores = jnp.sum(per_q, axis=1)
+    return jnp.where(valid_cand, scores, NEG_INF)
+
+
+@partial(jax.jit, static_argnames=("max_len", "chunk", "compute_dtype"))
+def score_ragged_all(
+    flat: jnp.ndarray,
+    offsets: jnp.ndarray,
+    lengths: jnp.ndarray,
+    query: jnp.ndarray,
+    max_len: int,
+    scales: Optional[jnp.ndarray] = None,
+    chunk: int = 256,
+    compute_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Exact MaxSim of the query against EVERY doc's full tokens -> [D] f32.
+
+    The brute-force oracle (reference ``single_full`` / client-side rerank).
+    Docs are processed in fixed-size chunks with lax.map so HBM traffic stays
+    bounded at chunk×max_len×dim regardless of corpus size.
+    """
+    d = offsets.shape[0]
+    n_chunks = -(-d // chunk)
+    pad = n_chunks * chunk - d
+    idx = jnp.arange(n_chunks * chunk, dtype=jnp.int32)
+    cand = jnp.where(idx < d, idx, -1).reshape(n_chunks, chunk)
+
+    def one_chunk(c):
+        return rerank_ragged(
+            flat, offsets, lengths, query, c, max_len,
+            scales=scales, compute_dtype=compute_dtype,
+        )
+
+    scores = jax.lax.map(one_chunk, cand).reshape(-1)
+    return scores[:d] if pad else scores
+
+
+# ---------------------------------------------------------------------------
+# Top-k selection
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k",))
+def topk_masked(scores: jnp.ndarray, k: int, doc_mask: Optional[jnp.ndarray] = None):
+    """Top-k doc indices/scores with filter mask applied; ties break by index."""
+    masked = _apply_mask(scores, doc_mask)
+    vals, idx = jax.lax.top_k(masked, k)
+    return vals, idx
