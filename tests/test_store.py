@@ -90,9 +90,15 @@ class TestBuilderAndSeal:
         loaded.add("p_new", pts[0]["vectors"], {})
         idx = loaded.seal()
         assert idx.num_docs == 4
-        a = np.asarray(builder.seal().store("initial").flat)
-        b = np.asarray(idx.store("initial").flat)[: a.shape[0]]
-        np.testing.assert_allclose(a, b, atol=1e-6)
+        sa = builder.seal().store("initial")
+        sb = idx.store("initial")
+        # per-doc token blocks identical (tail padding/alignment gaps excluded)
+        for d in range(3):
+            off_a, ln = int(np.asarray(sa.offsets)[d]), int(np.asarray(sa.lengths)[d])
+            off_b = int(np.asarray(sb.offsets)[d])
+            np.testing.assert_allclose(
+                np.asarray(sa.flat)[off_a : off_a + ln],
+                np.asarray(sb.flat)[off_b : off_b + ln], atol=1e-6)
 
     def test_max_rows_cap(self, rng):
         schema = CollectionSchema(

@@ -135,7 +135,10 @@ class RaggedMultiVectors:
 
     @property
     def total_tokens(self) -> int:
-        return int(self.flat.shape[0])
+        """Real (un-padded, un-aligned) token count across all docs."""
+        import numpy as np
+
+        return int(np.asarray(self.lengths).sum())
 
     @property
     def storage_dtype(self) -> str:
@@ -151,23 +154,28 @@ class RaggedMultiVectors:
     def build(cls, mats, storage_dtype: str = "bfloat16", dim: Optional[int] = None):
         mats = [np.asarray(m, dtype=np.float32) for m in mats]
         dim = mats[0].shape[1] if mats else (dim or DEFAULT_DIM)
+        align = 32  # row alignment: covers (8,128) f32, (16,128) bf16, (32,128) int8
         lengths = np.array([m.shape[0] for m in mats], dtype=np.int32)
+        # Each doc's block starts tile-aligned so Pallas DMA windows are legal
+        # (Mosaic requires provably aligned DMA start rows); gaps are zeros.
+        aligned = ((lengths + align - 1) // align) * align
         offsets = np.zeros_like(lengths)
         if len(mats):
-            offsets[1:] = np.cumsum(lengths)[:-1]
-        total = int(lengths.sum())
-        flat = np.zeros((max(total, 1), dim), dtype=np.float32)
-        pos = 0
-        for m in mats:
+            offsets[1:] = np.cumsum(aligned)[:-1]
+        total = int(aligned.sum())
+        max_len = int(lengths.max()) if len(mats) else 1
+        # Tail padding of max_len rows lets fixed-width [offset, offset+max_len)
+        # DMA windows never run out of bounds.
+        flat = np.zeros((max(total, 1) + max_len, dim), dtype=np.float32)
+        for m, off in zip(mats, offsets):
             if m.shape[0]:
-                flat[pos : pos + m.shape[0]] = _normalize_rows(m)
-                pos += m.shape[0]
+                flat[off : off + m.shape[0]] = _normalize_rows(m)
         values, scales = _pack_storage(flat, storage_dtype)
         return cls(
             flat=jnp.asarray(values),
             offsets=jnp.asarray(offsets),
             lengths=jnp.asarray(lengths),
-            max_len=int(lengths.max()) if len(mats) else 1,
+            max_len=max_len,
             scales=None if scales is None else jnp.asarray(scales),
         )
 

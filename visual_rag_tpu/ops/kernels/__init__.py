@@ -1,0 +1,13 @@
+"""Pallas TPU kernels for the retrieval hot paths.
+
+- :mod:`prefetch_topk` — blocked batched MaxSim over padded pooled stores
+  (stage-1 prefetch; replaces Qdrant's HNSW+comparator, exactly)
+- :mod:`maxsim_rerank` — fused gather-free exact MaxSim over candidates'
+  ragged token blocks streamed from HBM (stage-2 rerank)
+
+Both kernels fall back to interpret mode on non-TPU backends (tests run them
+interpreted on CPU against the XLA oracle).
+"""
+
+from visual_rag_tpu.ops.kernels.prefetch_topk import pooled_maxsim_scores  # noqa: F401
+from visual_rag_tpu.ops.kernels.maxsim_rerank import rerank_candidates  # noqa: F401

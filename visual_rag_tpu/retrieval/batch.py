@@ -1,0 +1,256 @@
+"""Batched query execution: the high-QPS path.
+
+The reference evaluates queries one network round-trip at a time
+(run_qdrant_beir.py:392-401). On TPU the idiomatic shape is a *query batch*:
+pad queries to [B, NQ, dim], compute stage-1 scores for the whole batch with
+one fused Pallas kernel pass over the store, top-k per row, then rerank all
+candidates with the fused MaxSim kernel. Dispatch overhead and store HBM
+traffic amortize across the batch — this is where the >=10x QPS vs the Qdrant
+baseline comes from.
+
+Every Pallas path has an XLA fallback (chunked lax.map) used on CPU and for
+int8 stores (which the kernels take dequantized-to-bf16 from a per-store
+cache).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_rag_tpu.index.store import (
+    PaddedMultiVectors,
+    RaggedMultiVectors,
+    SingleVectors,
+)
+from visual_rag_tpu.ops.kernels.maxsim_rerank import rerank_candidates
+from visual_rag_tpu.ops.kernels.prefetch_topk import pooled_maxsim_scores
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_queries(queries: Sequence[np.ndarray], dim: int, eps: float = 1e-8):
+    """Ragged [nq_i, dim] queries -> (tokens [B,NQ,dim] l2-normed, mask [B,NQ],
+    pooled [B,dim] l2-normed mean-of-raw-tokens)."""
+    b = len(queries)
+    nq_max = max((int(np.asarray(q).shape[0]) for q in queries), default=1)
+    nq = round_up(max(nq_max, 8), 8)  # sublane-aligned for the kernels
+    tokens = np.zeros((b, nq, dim), dtype=np.float32)
+    mask = np.zeros((b, nq), dtype=bool)
+    pooled = np.zeros((b, dim), dtype=np.float32)
+    for i, q in enumerate(queries):
+        q = np.asarray(q, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        t = q.shape[0]
+        tokens[i, :t] = q / (np.linalg.norm(q, axis=1, keepdims=True) + eps)
+        mask[i, :t] = True
+        mean = q.mean(axis=0)
+        pooled[i] = mean / (np.linalg.norm(mean) + eps)
+    return jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(pooled)
+
+
+# ---------------------------------------------------------------------------
+# Batched XLA fallbacks (chunked over docs; work on any backend / int8)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("chunk", "compute_dtype"))
+def xla_padded_tokens_batch(
+    values, mask, tokens, qmask, scales=None, chunk: int = 512,
+    compute_dtype: str = "float32",
+):
+    """[B, D] MaxSim of each padded query against every doc's pooled rows."""
+    cd = jnp.dtype(compute_dtype)
+    d = values.shape[0]
+    n_chunks = -(-d // chunk)
+    pad = n_chunks * chunk - d
+    v = jnp.pad(values, ((0, pad), (0, 0), (0, 0))) if pad else values
+    m = jnp.pad(mask, ((0, pad), (0, 0))) if pad else mask
+    s = None if scales is None else (jnp.pad(scales, ((0, pad), (0, 0))) if pad else scales)
+    vi = v.reshape(n_chunks, chunk, *v.shape[1:])
+    mi = m.reshape(n_chunks, chunk, m.shape[1])
+    si = None if s is None else s.reshape(n_chunks, chunk, s.shape[1])
+
+    def one(args):
+        vc, mc, sc = args
+        sims = jnp.einsum("bqd,npd->bnqp", tokens.astype(cd), vc.astype(cd),
+                          preferred_element_type=jnp.float32)
+        if sc is not None:
+            sims = sims * sc[None, :, None, :]
+        sims = jnp.where(mc[None, :, None, :], sims, NEG_INF)
+        per_q = jnp.max(sims, axis=3)  # [B, chunk, NQ]
+        has_rows = jnp.any(mc, axis=1)
+        per_q = jnp.where(has_rows[None, :, None], per_q, 0.0)
+        per_q = per_q * qmask.astype(jnp.float32)[:, None, :]
+        return jnp.sum(per_q, axis=2)  # [B, chunk]
+
+    dummy_s = si if si is not None else mi  # lax.map needs uniform pytrees
+    out = jax.lax.map(lambda a: one((a[0], a[1], a[2] if si is not None else None)),
+                      (vi, mi, dummy_s))
+    out = jnp.moveaxis(out, 0, 1).reshape(tokens.shape[0], n_chunks * chunk)
+    return out[:, :d]
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def xla_padded_pooled_batch(values, mask, pooled, scales=None, compute_dtype: str = "float32"):
+    """[B, D] max-dot of pooled query vectors against padded doc rows."""
+    cd = jnp.dtype(compute_dtype)
+    sims = jnp.einsum("bd,npd->bnp", pooled.astype(cd), values.astype(cd),
+                      preferred_element_type=jnp.float32)
+    if scales is not None:
+        sims = sims * scales[None, :, :]
+    sims = jnp.where(mask[None, :, :], sims, NEG_INF)
+    out = jnp.max(sims, axis=2)
+    return jnp.where(jnp.any(mask, axis=1)[None, :], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def xla_single_batch(values, pooled, scales=None, compute_dtype: str = "float32"):
+    cd = jnp.dtype(compute_dtype)
+    out = jnp.einsum("bd,nd->bn", pooled.astype(cd), values.astype(cd),
+                     preferred_element_type=jnp.float32)
+    if scales is not None:
+        out = out * scales[None, :]
+    return out
+
+
+@partial(jax.jit, static_argnames=("max_len", "chunk", "compute_dtype"))
+def xla_rerank_batch(
+    flat, offsets, lengths, tokens, qmask, candidates, max_len: int,
+    scales=None, chunk: int = 32, compute_dtype: str = "float32",
+):
+    """[B, K] exact MaxSim via gather, chunked over K to bound HBM scratch."""
+    cd = jnp.dtype(compute_dtype)
+    b, k = candidates.shape
+    n_chunks = -(-k // chunk)
+    pad = n_chunks * chunk - k
+    cand = jnp.pad(candidates, ((0, 0), (0, pad)), constant_values=-1) if pad else candidates
+    ci = jnp.moveaxis(cand.reshape(b, n_chunks, chunk), 1, 0)  # [n_chunks, B, chunk]
+
+    def one(cc):  # cc: [B, chunk]
+        safe = jnp.maximum(cc, 0)
+        offs = offsets[safe]
+        lens = jnp.where(cc >= 0, lengths[safe], 0)
+        idx = offs[:, :, None] + jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
+        tmask = jnp.arange(max_len, dtype=jnp.int32)[None, None, :] < lens[:, :, None]
+        idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+        docs = flat[idx]  # [B, chunk, T, dim]
+        sims = jnp.einsum("bqd,bktd->bkqt", tokens.astype(cd), docs.astype(cd),
+                          preferred_element_type=jnp.float32)
+        if scales is not None:
+            sims = sims * scales[idx][:, :, None, :]
+        sims = jnp.where(tmask[:, :, None, :], sims, NEG_INF)
+        per_q = jnp.max(sims, axis=3)  # [B, chunk, NQ]
+        has = jnp.any(tmask, axis=2)
+        per_q = jnp.where(has[:, :, None], per_q, 0.0)
+        per_q = per_q * qmask.astype(jnp.float32)[:, None, :]
+        sc = jnp.sum(per_q, axis=2)
+        return jnp.where(cc >= 0, sc, NEG_INF)
+
+    out = jax.lax.map(one, ci)  # [n_chunks, B, chunk]
+    out = jnp.moveaxis(out, 0, 1).reshape(b, n_chunks * chunk)
+    return out[:, :k]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def topk_batch(scores: jnp.ndarray, k: int, doc_mask: Optional[jnp.ndarray] = None):
+    """Per-row top-k with optional shared doc mask; invalid -> -1."""
+    if doc_mask is not None:
+        scores = jnp.where(doc_mask[None, :], scores, NEG_INF)
+    vals, idx = jax.lax.top_k(scores, k)
+    valid = vals > (NEG_INF / 2)
+    return vals, jnp.where(valid, idx, -1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Store-level dispatch (Pallas on TPU, XLA elsewhere / for quantized stores)
+# ---------------------------------------------------------------------------
+
+
+class BatchScorer:
+    """Batched scoring over one SealedIndex with per-store dequant caching."""
+
+    def __init__(self, index, compute_dtype: str = "float32", use_pallas: Optional[bool] = None):
+        self.index = index
+        self.compute_dtype = compute_dtype
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self._dequant_cache = {}
+
+    def _kernel_arrays(self, name: str):
+        """Kernel-layout arrays in matmul dtype, cached per store.
+
+        Padded stores are cached P-leading ([P, D, dim] values + [P, D] mask)
+        for the prefetch kernel; the ragged store is cached as a dequantized
+        flat matrix for the rerank kernel.
+        """
+        store = self.index.store(name)
+        if name in self._dequant_cache:
+            return self._dequant_cache[name], store
+        cd = jnp.dtype(self.compute_dtype)
+        if isinstance(store, PaddedMultiVectors):
+            vals_t = jnp.transpose(store.dequantized(cd), (1, 0, 2))
+            mask_t = jnp.asarray(store.mask.T, jnp.float32)
+            arr = (jax.device_put(vals_t), jax.device_put(mask_t))
+        elif isinstance(store, RaggedMultiVectors):
+            flat = store.flat.astype(cd)
+            if store.scales is not None:
+                flat = (store.flat.astype(jnp.float32)
+                        * store.scales[:, None]).astype(cd)
+            arr = jax.device_put(flat)
+        else:
+            arr = jax.device_put(store.dequantized(cd))
+        self._dequant_cache[name] = arr
+        return arr, store
+
+    def score_tokens(self, name: str, tokens, qmask) -> jnp.ndarray:
+        """[B, D] MaxSim of query tokens vs multivector store `name`."""
+        store = self.index.store(name)
+        if isinstance(store, PaddedMultiVectors):
+            if self.use_pallas:
+                (vals_t, mask_t), _ = self._kernel_arrays(name)
+                return pooled_maxsim_scores(vals_t, mask_t, tokens, qmask)
+            return xla_padded_tokens_batch(
+                store.values, store.mask, tokens, qmask, store.scales,
+                compute_dtype=self.compute_dtype)
+        if isinstance(store, RaggedMultiVectors):
+            d = store.num_docs
+            all_docs = jnp.broadcast_to(
+                jnp.arange(d, dtype=jnp.int32)[None, :], (tokens.shape[0], d))
+            return self.rerank(name, tokens, qmask, all_docs)
+        raise ValueError(f"score_tokens unsupported for store {name!r}")
+
+    def score_pooled(self, name: str, pooled) -> jnp.ndarray:
+        store = self.index.store(name)
+        if isinstance(store, PaddedMultiVectors):
+            return xla_padded_pooled_batch(
+                store.values, store.mask, pooled, store.scales,
+                compute_dtype=self.compute_dtype)
+        if isinstance(store, SingleVectors):
+            return xla_single_batch(store.values, pooled, store.scales,
+                                    compute_dtype=self.compute_dtype)
+        raise ValueError(f"score_pooled unsupported for store {name!r}")
+
+    def rerank(self, name: str, tokens, qmask, candidates) -> jnp.ndarray:
+        store = self.index.store(name)
+        if not isinstance(store, RaggedMultiVectors):
+            raise ValueError(f"{name!r} must be a ragged token store")
+        if self.use_pallas:
+            flat, _ = self._kernel_arrays(name)
+            return rerank_candidates(
+                flat, store.offsets, store.lengths, tokens, qmask,
+                candidates, store.max_len)
+        return xla_rerank_batch(
+            store.flat, store.offsets, store.lengths, tokens, qmask,
+            candidates, store.max_len, scales=store.scales,
+            compute_dtype=self.compute_dtype)

@@ -102,6 +102,15 @@ class RetrievalEngine:
             compute_dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
         self.compute_dtype = compute_dtype
         self.rerank_chunk = int(rerank_chunk)
+        self._batch_scorer = None
+
+    @property
+    def batch_scorer(self):
+        from visual_rag_tpu.retrieval.batch import BatchScorer
+
+        if self._batch_scorer is None:
+            self._batch_scorer = BatchScorer(self.index, compute_dtype=self.compute_dtype)
+        return self._batch_scorer
 
     # -- query preparation ---------------------------------------------------
 
@@ -245,6 +254,115 @@ class RetrievalEngine:
         return self._search_three_stage(
             q, top_k, stage1_k or 1000, stage2_k or 300, doc_mask, with_payload
         )
+
+    def search_embedded_batch(
+        self,
+        query_embeddings,
+        mode: str = "two_stage",
+        top_k: int = 10,
+        prefetch_k: Optional[int] = None,
+        stage1_mode: str = "pooled_query_vs_standard_pooling",
+        stage1_k: Optional[int] = None,
+        stage2_k: Optional[int] = None,
+        filter_obj: Optional[PayloadFilter] = None,
+        with_payload: bool = True,
+    ) -> List[List[Dict[str, Any]]]:
+        """Batched search: list of [nq_i, dim] queries -> list of result lists.
+
+        TPU-native high-QPS path: queries are padded to one [B, NQ, dim]
+        batch, stage-1 runs as a single fused Pallas pass over the store,
+        stage-2 reranks all candidates with the fused MaxSim kernel. Results
+        are identical to per-query :meth:`search_embedded`.
+        """
+        from visual_rag_tpu.retrieval import batch as B
+
+        if mode not in SEARCH_MODES:
+            raise ValueError(f"Unknown mode: {mode}. Choose one of {SEARCH_MODES}")
+        if self.index.num_docs == 0 or not len(query_embeddings):
+            return [[] for _ in range(len(query_embeddings))]
+        dim = next(iter(self.index.stores.values())).dim
+        tokens, qmask, pooled = B.pad_queries(query_embeddings, dim)
+        doc_mask = self._doc_mask(filter_obj)
+        sc = self.batch_scorer
+        d = self.index.num_docs
+
+        def s1_scores(m):
+            m = _STAGE1_ALIASES.get(m, m)
+            if m == "pooled_query_vs_standard_pooling":
+                return sc.score_pooled(self.pooled_vector_name, pooled)
+            if m == "tokens_vs_standard_pooling":
+                return sc.score_tokens(self.pooled_vector_name, tokens, qmask)
+            if m == "pooled_query_vs_experimental_pooling":
+                return sc.score_pooled(self.experimental_vector_name, pooled)
+            if m == "tokens_vs_experimental_pooling":
+                return sc.score_tokens(self.experimental_vector_name, tokens, qmask)
+            if m == "pooled_query_vs_global":
+                return sc.score_pooled(self.global_vector_name, pooled)
+            raise ValueError(f"Unknown stage1_mode: {m}")
+
+        if mode.startswith("single_"):
+            name_map = {
+                "single_full": (self.full_vector_name, "tokens"),
+                "single_tiles": (self.pooled_vector_name, "tokens"),
+                "single_pooled": (self.pooled_vector_name, "pooled"),
+                "single_global": (self.global_vector_name, "pooled"),
+                "single_experimental_tokens": (self.experimental_vector_name, "tokens"),
+                "single_experimental_pooled": (self.experimental_vector_name, "pooled"),
+            }
+            name, kind = name_map[mode]
+            scores = (
+                sc.score_tokens(name, tokens, qmask)
+                if kind == "tokens"
+                else sc.score_pooled(name, pooled)
+            )
+            k = max(1, min(int(top_k), d))
+            vals, idx = B.topk_batch(scores, k, doc_mask)
+            return self._batch_results(idx, with_payload, score=vals)
+
+        if mode == "two_stage":
+            if prefetch_k is None:
+                prefetch_k = max(100, top_k * 10)
+            s1 = s1_scores(stage1_mode)
+            _, cand = B.topk_batch(s1, max(1, min(int(prefetch_k), d)), doc_mask)
+            rr = sc.rerank(self.full_vector_name, tokens, qmask, cand)
+            k = max(1, min(int(top_k), int(cand.shape[1])))
+            vals, pos = jax.lax.top_k(rr, k)
+            idx = jnp.where(vals > NEG_INF / 2, jnp.take_along_axis(cand, pos, axis=1), -1)
+            return self._batch_results(
+                idx, with_payload, score_stage2=vals, score_final=vals)
+
+        # three_stage
+        s1k = max(1, min(int(stage1_k or 1000), d))
+        s2k = max(1, min(int(stage2_k or 300), d))
+        s1 = sc.score_pooled(self.global_vector_name, pooled)
+        _, c1 = B.topk_batch(s1, s1k, doc_mask)
+        m1 = jnp.zeros((tokens.shape[0], d), dtype=bool)
+        m1 = jax.vmap(lambda m, c: m.at[jnp.maximum(c, 0)].set(c >= 0))(m1, c1)
+        s2 = sc.score_tokens(self.experimental_vector_name, tokens, qmask)
+        s2 = jnp.where(m1, s2, NEG_INF)
+        vals2, c2 = jax.lax.top_k(s2, s2k)
+        c2 = jnp.where(vals2 > NEG_INF / 2, c2, -1).astype(jnp.int32)
+        rr = sc.rerank(self.full_vector_name, tokens, qmask, c2)
+        k = max(1, min(int(top_k), int(c2.shape[1])))
+        vals, pos = jax.lax.top_k(rr, k)
+        idx = jnp.where(vals > NEG_INF / 2, jnp.take_along_axis(c2, pos, axis=1), -1)
+        fi = jnp.maximum(idx, 0)
+        return self._batch_results(
+            idx, with_payload,
+            score_stage3=vals, score_final=vals,
+            score_stage1=jnp.take_along_axis(s1, fi, axis=1),
+            score_stage2=jnp.take_along_axis(s2, fi, axis=1),
+        )
+
+    def _batch_results(self, idx, with_payload, **score_cols):
+        idx = np.asarray(idx)
+        cols = {k: np.asarray(v) for k, v in score_cols.items()}
+        out = []
+        for b in range(idx.shape[0]):
+            out.append(
+                self._results(idx[b], with_payload, **{k: v[b] for k, v in cols.items()})
+            )
+        return out
 
     def _search_single(self, mode, q, top_k, doc_mask, with_payload):
         """Single query_points call equivalents (reference single_stage.py:81-121)."""
