@@ -1,0 +1,99 @@
+"""Sharded engine (8-device virtual CPU mesh) vs single-device engine."""
+
+import numpy as np
+import pytest
+
+from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+from visual_rag_tpu.parallel import ShardedEngine, ShardedIndex, make_mesh
+from visual_rag_tpu.retrieval import RetrievalEngine, build_filter
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(21)
+    builder = IndexBuilder(CollectionSchema.standard(storage_dtype="float32", dim=DIM))
+    for i in range(53):  # deliberately not divisible by 8 (tail-padded shards)
+        builder.add(
+            f"doc{i}",
+            {
+                "initial": rng.standard_normal(
+                    (int(rng.integers(5, 40)), DIM)).astype(np.float32),
+                "mean_pooling": rng.standard_normal(
+                    (int(rng.integers(3, 9)), DIM)).astype(np.float32),
+                "experimental_pooling": rng.standard_normal(
+                    (int(rng.integers(3, 11)), DIM)).astype(np.float32),
+                "global_pooling": rng.standard_normal((DIM,)).astype(np.float32),
+            },
+            {"year": 2020 + i % 3},
+        )
+    index = builder.seal()
+    engine = RetrievalEngine(index, compute_dtype="float32")
+    mesh = make_mesh((8,), ("data",))
+    sengine = ShardedEngine(ShardedIndex.from_index(index, mesh), use_pallas=False)
+    queries = [
+        np.random.default_rng(200 + i).standard_normal((6 + i, DIM)).astype(np.float32)
+        for i in range(4)
+    ]
+    return engine, sengine, queries
+
+
+ALL_MODES = [
+    "single_full", "single_tiles", "single_pooled", "single_global",
+    "single_experimental_tokens", "single_experimental_pooled",
+    "two_stage", "three_stage",
+]
+
+
+class TestShardedMatchesSingle:
+    @pytest.mark.parametrize("mode", ALL_MODES)
+    def test_modes(self, setup, mode):
+        engine, sengine, queries = setup
+        kwargs = dict(mode=mode, top_k=5)
+        if mode == "two_stage":
+            kwargs.update(prefetch_k=12, stage1_mode="tokens_vs_experimental_pooling")
+        if mode == "three_stage":
+            kwargs.update(stage1_k=20, stage2_k=9)
+        sharded = sengine.search_embedded_batch(queries, **kwargs)
+        reference = engine.search_embedded_batch(queries, **kwargs)
+        for sr, rr in zip(sharded, reference):
+            assert [r["id"] for r in sr] == [r["id"] for r in rr], mode
+            np.testing.assert_allclose(
+                [r["score_final"] for r in sr],
+                [r["score_final"] for r in rr], rtol=1e-4, atol=1e-4)
+
+    def test_three_stage_provenance(self, setup):
+        engine, sengine, queries = setup
+        sharded = sengine.search_embedded_batch(
+            queries[:1], mode="three_stage", top_k=3, stage1_k=20, stage2_k=9)
+        single = engine.search_embedded(
+            queries[0], mode="three_stage", top_k=3, stage1_k=20, stage2_k=9)
+        for sr, rr in zip(sharded[0], single):
+            assert sr["score_stage1"] == pytest.approx(rr["score_stage1"], rel=1e-3, abs=1e-3)
+            assert sr["score_stage2"] == pytest.approx(rr["score_stage2"], rel=1e-3, abs=1e-3)
+
+    def test_filter(self, setup):
+        engine, sengine, queries = setup
+        f = build_filter(year=2022)
+        sharded = sengine.search_embedded_batch(
+            queries, mode="two_stage", top_k=5, prefetch_k=10, filter_obj=f)
+        reference = engine.search_embedded_batch(
+            queries, mode="two_stage", top_k=5, prefetch_k=10, filter_obj=f)
+        for sr, rr in zip(sharded, reference):
+            assert [r["id"] for r in sr] == [r["id"] for r in rr]
+            for r in sr:
+                assert r["payload"]["year"] == 2022
+
+    def test_uneven_shards_no_phantom_docs(self, setup):
+        _, sengine, queries = setup
+        # 53 docs over 8 shards -> 3 padding slots; huge top_k must return 53
+        res = sengine.search_embedded_batch([queries[0]], mode="single_global", top_k=100)
+        assert len(res[0]) == 53
+        assert len({r["id"] for r in res[0]}) == 53
+
+    def test_empty_filter_match(self, setup):
+        _, sengine, queries = setup
+        res = sengine.search_embedded_batch(
+            queries[:1], mode="two_stage", filter_obj=build_filter(year=1800))
+        assert res == [[]]

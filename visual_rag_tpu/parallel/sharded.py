@@ -1,0 +1,508 @@
+"""Corpus sharding over a device mesh + distributed query plans.
+
+Layout: documents are partitioned contiguously over the ``data`` mesh axis
+(n shards, Ds = ceil(D/n) docs each, tail padded with empty docs). Every named
+vector store is stacked with a leading shard axis and placed with
+``NamedSharding(mesh, P('data', ...))`` so each device holds exactly its
+shard's rows in HBM.
+
+Query plans run as ONE ``shard_map`` call per search:
+
+    per-shard scoring (Pallas kernels on TPU / XLA fallback on CPU)
+      -> local top-k
+      -> all_gather + replicated merge (the distributed top-k)
+      -> per-shard exact rerank of the merged candidate set
+      -> pmax over shards (each candidate is valid on exactly one shard)
+      -> final replicated top-k
+
+The merged candidate set is identical to what the single-device engine would
+prefetch, so sharded results match the single-device engine exactly (up to
+cross-shard ordering of exact score ties, which are broken by shard order
+rather than global doc order).
+
+Replaces: the reference's Qdrant-server-as-cluster distribution model
+(SURVEY §2.5) with ICI collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from visual_rag_tpu.index.store import (
+    PaddedMultiVectors,
+    RaggedMultiVectors,
+    SingleVectors,
+)
+from visual_rag_tpu.ops.kernels.maxsim_rerank import rerank_candidates
+from visual_rag_tpu.ops.kernels.prefetch_topk import pooled_maxsim_scores
+from visual_rag_tpu.retrieval import batch as BATCH
+from visual_rag_tpu.retrieval.engine import SEARCH_MODES, _STAGE1_ALIASES
+from visual_rag_tpu.retrieval.filters import PayloadFilter
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Sharded index construction
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardedIndex:
+    """Device-sharded collection: every array has a leading shard axis."""
+
+    mesh: Mesh
+    axis: str
+    num_docs: int  # real docs (unpadded)
+    docs_per_shard: int
+    stores: Dict[str, Dict[str, jnp.ndarray]]  # name -> arrays (see builders)
+    kinds: Dict[str, str]  # name -> padded|ragged|single
+    manifest: Any
+    max_len: int  # ragged full store max doc tokens
+
+    @property
+    def num_shards(self) -> int:
+        return int(self.mesh.shape[self.axis])
+
+    @classmethod
+    def from_index(cls, index, mesh: Mesh, axis: str = "data",
+                   compute_dtype: str = "float32") -> "ShardedIndex":
+        """Shard a SealedIndex's stores over the mesh axis."""
+        n = int(mesh.shape[axis])
+        d = index.num_docs
+        ds = -(-d // n) if d else 1
+        cd = jnp.dtype(compute_dtype)
+
+        def put(arr, spec):
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+
+        stores: Dict[str, Dict[str, jnp.ndarray]] = {}
+        kinds: Dict[str, str] = {}
+        max_len = 1
+        for name, store in index.stores.items():
+            if isinstance(store, PaddedMultiVectors):
+                vals = np.asarray(store.dequantized(cd), dtype=np.float32)
+                mask = np.asarray(store.mask)
+                p = vals.shape[1]
+                vpad = np.zeros((n * ds, p, vals.shape[2]), dtype=np.float32)
+                mpad = np.zeros((n * ds, p), dtype=np.float32)
+                vpad[:d] = vals[:d]
+                mpad[:d] = mask[:d].astype(np.float32)
+                # P-leading per shard for the Pallas prefetch kernel
+                vals_t = vpad.reshape(n, ds, p, -1).transpose(0, 2, 1, 3)
+                mask_t = mpad.reshape(n, ds, p).transpose(0, 2, 1)
+                stores[name] = {
+                    "vals_t": put(jnp.asarray(vals_t, cd), P(axis)),
+                    "mask_t": put(jnp.asarray(mask_t), P(axis)),
+                }
+                kinds[name] = "padded"
+            elif isinstance(store, SingleVectors):
+                vals = np.asarray(store.dequantized(jnp.float32))
+                vpad = np.zeros((n * ds, vals.shape[1]), dtype=np.float32)
+                vpad[:d] = vals[:d]
+                stores[name] = {
+                    "vals": put(jnp.asarray(vpad.reshape(n, ds, -1), cd), P(axis)),
+                }
+                kinds[name] = "single"
+            elif isinstance(store, RaggedMultiVectors):
+                flat = np.asarray(store.flat, dtype=np.float32)
+                if store.scales is not None:
+                    flat = flat * np.asarray(store.scales)[:, None]
+                offsets = np.asarray(store.offsets)
+                lengths = np.asarray(store.lengths)
+                max_len = max(max_len, store.max_len)
+                # rebuild per-shard flats (32-aligned starts preserved)
+                shard_flats, shard_offs, shard_lens = [], [], []
+                for s in range(n):
+                    lo, hi = s * ds, min((s + 1) * ds, d)
+                    offs = np.zeros((ds,), np.int32)
+                    lens = np.zeros((ds,), np.int32)
+                    pieces = []
+                    pos = 0
+                    for j in range(lo, hi):
+                        ln = int(lengths[j])
+                        offs[j - lo] = pos
+                        lens[j - lo] = ln
+                        pieces.append(flat[offsets[j] : offsets[j] + ln])
+                        pos += ((ln + 31) // 32) * 32
+                    buf = np.zeros((max(pos, 1) + store.max_len, flat.shape[1]),
+                                   dtype=np.float32)
+                    for j, piece in enumerate(pieces):
+                        buf[offs[j] : offs[j] + len(piece)] = piece
+                    shard_flats.append(buf)
+                    shard_offs.append(offs)
+                    shard_lens.append(lens)
+                t_max = max(f.shape[0] for f in shard_flats)
+                flats = np.zeros((n, t_max, flat.shape[1]), dtype=np.float32)
+                for s, f in enumerate(shard_flats):
+                    flats[s, : f.shape[0]] = f
+                stores[name] = {
+                    "flat": put(jnp.asarray(flats, cd), P(axis)),
+                    "offsets": put(jnp.asarray(np.stack(shard_offs)), P(axis)),
+                    "lengths": put(jnp.asarray(np.stack(shard_lens)), P(axis)),
+                }
+                kinds[name] = "ragged"
+            else:  # pragma: no cover
+                raise TypeError(f"Unknown store type for {name!r}")
+        return cls(
+            mesh=mesh, axis=axis, num_docs=d, docs_per_shard=ds,
+            stores=stores, kinds=kinds, manifest=index.manifest, max_len=max_len,
+        )
+
+    def doc_mask_shards(self, filter_obj: Optional[PayloadFilter]) -> jnp.ndarray:
+        """[n, Ds] f32 validity mask: filter AND not-a-padding-slot."""
+        n, ds = self.num_shards, self.docs_per_shard
+        mask = np.zeros((n * ds,), dtype=np.float32)
+        mask[: self.num_docs] = 1.0
+        if filter_obj is not None and not filter_obj.is_empty():
+            fm = filter_obj.evaluate(self.manifest).astype(np.float32)
+            mask[: self.num_docs] *= fm
+        return jax.device_put(
+            jnp.asarray(mask.reshape(n, ds)), NamedSharding(self.mesh, P(self.axis))
+        )
+
+
+# ---------------------------------------------------------------------------
+# Shard-local scoring primitives (operate on local, leading-dim-stripped arrays)
+# ---------------------------------------------------------------------------
+
+
+def _local_tokens_padded(s1, tokens, qmask, use_pallas):
+    vals_t, mask_t = s1["vals_t"], s1["mask_t"]
+    if use_pallas:
+        return pooled_maxsim_scores(vals_t, mask_t, tokens, qmask)
+    # XLA fallback straight off the P-leading layout
+    sims = jnp.einsum("bqd,pnd->bqpn", tokens.astype(vals_t.dtype), vals_t,
+                      preferred_element_type=jnp.float32)
+    sims = jnp.where(mask_t[None, None, :, :] > 0, sims, NEG_INF)
+    per_q = jnp.max(sims, axis=2)  # [B, NQ, Ds]
+    has = jnp.max(mask_t, axis=0) > 0
+    per_q = jnp.where(has[None, None, :], per_q, 0.0)
+    per_q = per_q * jnp.asarray(qmask, jnp.float32)[:, :, None]
+    return jnp.sum(per_q, axis=1)
+
+
+def _local_pooled_padded(s1, pooled):
+    vals_t, mask_t = s1["vals_t"], s1["mask_t"]
+    sims = jnp.einsum("bd,pnd->bpn", pooled.astype(vals_t.dtype), vals_t,
+                      preferred_element_type=jnp.float32)
+    sims = jnp.where(mask_t[None, :, :] > 0, sims, NEG_INF)
+    out = jnp.max(sims, axis=1)
+    return jnp.where(jnp.max(mask_t, axis=0)[None, :] > 0, out, 0.0)
+
+
+def _local_pooled_single(s1, pooled):
+    vals = s1["vals"]
+    return jnp.einsum("bd,nd->bn", pooled.astype(vals.dtype), vals,
+                      preferred_element_type=jnp.float32)
+
+
+def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas):
+    if use_pallas:
+        return rerank_candidates(
+            ragged["flat"], ragged["offsets"], ragged["lengths"],
+            tokens, qmask, cand, max_len)
+    return BATCH.xla_rerank_batch(
+        ragged["flat"], ragged["offsets"], ragged["lengths"],
+        tokens, qmask, cand, max_len)
+
+
+def _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas):
+    if kind == "tokens_padded":
+        return _local_tokens_padded(s1, tokens, qmask, use_pallas)
+    if kind == "pooled_padded":
+        return _local_pooled_padded(s1, pooled)
+    if kind == "pooled_single":
+        return _local_pooled_single(s1, pooled)
+    if kind == "tokens_ragged":
+        b = tokens.shape[0]
+        all_docs = jnp.broadcast_to(jnp.arange(ds, dtype=jnp.int32)[None, :], (b, ds))
+        return _local_rerank(ragged, tokens, qmask, all_docs, max_len, use_pallas)
+    raise ValueError(kind)
+
+
+def _merge_topk(vals, gids, k, axis):
+    """all_gather local top-k from every shard, merge to a replicated top-k."""
+    vg = jax.lax.all_gather(vals, axis)  # [n, B, kl]
+    ig = jax.lax.all_gather(gids, axis)
+    b = vals.shape[0]
+    vg = jnp.moveaxis(vg, 0, 1).reshape(b, -1)
+    ig = jnp.moveaxis(ig, 0, 1).reshape(b, -1)
+    v, pos = jax.lax.top_k(vg, k)
+    ids = jnp.take_along_axis(ig, pos, axis=1)
+    return v, jnp.where(v > NEG_INF / 2, ids, -1)
+
+
+def _strip(tree):
+    """Remove the leading shard axis shard_map leaves on block arguments."""
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+# ---------------------------------------------------------------------------
+# ShardedEngine
+# ---------------------------------------------------------------------------
+
+
+class ShardedEngine:
+    """Batched query API over a ShardedIndex (mirrors RetrievalEngine)."""
+
+    def __init__(
+        self,
+        sindex: ShardedIndex,
+        full_vector_name: str = "initial",
+        pooled_vector_name: str = "mean_pooling",
+        global_vector_name: str = "global_pooling",
+        experimental_vector_name: str = "experimental_pooling",
+        use_pallas: Optional[bool] = None,
+    ):
+        self.sindex = sindex
+        self.full_vector_name = full_vector_name
+        self.pooled_vector_name = pooled_vector_name
+        self.global_vector_name = global_vector_name
+        self.experimental_vector_name = experimental_vector_name
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self._plans: Dict[Any, Any] = {}
+
+    # -- mode -> (stage1 kind, store name) ----------------------------------
+
+    def _mode_store(self, mode: str):
+        return {
+            "single_full": ("tokens_ragged", self.full_vector_name),
+            "single_tiles": ("tokens_padded", self.pooled_vector_name),
+            "single_pooled": ("pooled_padded", self.pooled_vector_name),
+            "single_global": ("pooled_single", self.global_vector_name),
+            "single_experimental_tokens": ("tokens_padded", self.experimental_vector_name),
+            "single_experimental_pooled": ("pooled_padded", self.experimental_vector_name),
+        }[mode]
+
+    def _stage1_kind(self, stage1_mode: str):
+        m = _STAGE1_ALIASES.get(stage1_mode, stage1_mode)
+        table = {
+            "pooled_query_vs_standard_pooling": ("pooled_padded", self.pooled_vector_name),
+            "tokens_vs_standard_pooling": ("tokens_padded", self.pooled_vector_name),
+            "pooled_query_vs_experimental_pooling": ("pooled_padded", self.experimental_vector_name),
+            "tokens_vs_experimental_pooling": ("tokens_padded", self.experimental_vector_name),
+            "pooled_query_vs_global": ("pooled_single", self.global_vector_name),
+        }
+        if m not in table:
+            raise ValueError(f"Unknown stage1_mode: {stage1_mode}")
+        return table[m]
+
+    # -- plan factories (jitted shard_map callables, cached) ----------------
+
+    def _specs(self):
+        si = self.sindex
+        return si.mesh, si.axis, si.docs_per_shard, si.max_len, self.use_pallas
+
+    def _plan_single(self, kind: str, k: int):
+        mesh, axis, ds, max_len, use_pallas = self._specs()
+        kl = min(k, ds)
+
+        def body(s1, ragged, mask, tokens, qmask, pooled):
+            s1, ragged, mask = _strip(s1), _strip(ragged), _strip(mask)
+            scores = _local_stage1(
+                kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas)
+            scores = jnp.where(mask > 0, scores, NEG_INF)
+            v, i = jax.lax.top_k(scores, kl)
+            base = jax.lax.axis_index(axis) * ds
+            gids = jnp.where(v > NEG_INF / 2, base + i, -1)
+            return _merge_topk(v, gids, k, axis)
+
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # merged outputs are replicated by construction
+        )
+        return jax.jit(fn)
+
+    def _plan_two_stage(self, kind: str, pk: int, k: int):
+        mesh, axis, ds, max_len, use_pallas = self._specs()
+        pk_local = min(pk, ds)
+
+        def body(s1, ragged, mask, tokens, qmask, pooled):
+            s1, ragged, mask = _strip(s1), _strip(ragged), _strip(mask)
+            scores = _local_stage1(
+                kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas)
+            scores = jnp.where(mask > 0, scores, NEG_INF)
+            v1, i1 = jax.lax.top_k(scores, pk_local)
+            base = jax.lax.axis_index(axis) * ds
+            g1 = jnp.where(v1 > NEG_INF / 2, base + i1, -1)
+            _, merged = _merge_topk(v1, g1, pk, axis)  # replicated [B, pk]
+            local = merged - base
+            in_range = (local >= 0) & (local < ds) & (merged >= 0)
+            cand = jnp.where(in_range, local, -1).astype(jnp.int32)
+            rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas)
+            full = jax.lax.pmax(rr, axis)  # each candidate valid on one shard
+            vals, pos = jax.lax.top_k(full, k)
+            ids = jnp.take_along_axis(merged, pos, axis=1)
+            return vals, jnp.where(vals > NEG_INF / 2, ids, -1)
+
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,  # merged outputs are replicated by construction
+        )
+        return jax.jit(fn)
+
+    def _plan_three_stage(self, s1k: int, s2k: int, k: int):
+        mesh, axis, ds, max_len, use_pallas = self._specs()
+        s1k_local, s2k_local = min(s1k, ds), min(s2k, ds)
+
+        def body(gstore, estore, ragged, mask, tokens, qmask, pooled):
+            gstore, estore, ragged, mask = (
+                _strip(gstore), _strip(estore), _strip(ragged), _strip(mask))
+            base = jax.lax.axis_index(axis) * ds
+            b = tokens.shape[0]
+            # stage 1: pooled query vs global vectors
+            sc1 = _local_pooled_single(gstore, pooled)
+            sc1 = jnp.where(mask > 0, sc1, NEG_INF)
+            v1, i1 = jax.lax.top_k(sc1, s1k_local)
+            g1 = jnp.where(v1 > NEG_INF / 2, base + i1, -1)
+            _, m1_ids = _merge_topk(v1, g1, s1k, axis)
+            # stage-1 membership mask for my shard
+            loc1 = m1_ids - base
+            ok1 = (loc1 >= 0) & (loc1 < ds) & (m1_ids >= 0)
+            member = jnp.zeros((b, ds), dtype=bool)
+            member = jax.vmap(
+                lambda m, c, v: m.at[jnp.clip(c, 0, ds - 1)].max(v)
+            )(member, loc1, ok1)
+            # stage 2: tokens vs experimental, restricted
+            sc2 = _local_tokens_padded(estore, tokens, qmask, use_pallas)
+            sc2 = jnp.where(member & (mask > 0), sc2, NEG_INF)
+            v2, i2 = jax.lax.top_k(sc2, s2k_local)
+            g2 = jnp.where(v2 > NEG_INF / 2, base + i2, -1)
+            _, m2_ids = _merge_topk(v2, g2, s2k, axis)
+            # stage 3: exact rerank of merged stage-2 ids
+            loc2 = m2_ids - base
+            ok2 = (loc2 >= 0) & (loc2 < ds) & (m2_ids >= 0)
+            cand = jnp.where(ok2, loc2, -1).astype(jnp.int32)
+            rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas)
+            full = jax.lax.pmax(rr, axis)
+            vals, pos = jax.lax.top_k(full, k)
+            ids = jnp.take_along_axis(m2_ids, pos, axis=1)
+            ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+            # per-stage provenance at the winners (pmax over owning shards)
+            lidw = ids - base
+            okw = (lidw >= 0) & (lidw < ds) & (ids >= 0)
+            safe = jnp.clip(lidw, 0, ds - 1)
+            s1_at = jax.lax.pmax(
+                jnp.where(okw, jnp.take_along_axis(sc1, safe, axis=1), NEG_INF), axis)
+            s2_at = jax.lax.pmax(
+                jnp.where(okw, jnp.take_along_axis(sc2, safe, axis=1), NEG_INF), axis)
+            return vals, ids, s1_at, s2_at
+
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,  # merged outputs are replicated by construction
+        )
+        return jax.jit(fn)
+
+    def _get_plan(self, key, factory):
+        if key not in self._plans:
+            self._plans[key] = factory()
+        return self._plans[key]
+
+    # -- public API ----------------------------------------------------------
+
+    def search_embedded_batch(
+        self,
+        query_embeddings,
+        mode: str = "two_stage",
+        top_k: int = 10,
+        prefetch_k: Optional[int] = None,
+        stage1_mode: str = "pooled_query_vs_standard_pooling",
+        stage1_k: Optional[int] = None,
+        stage2_k: Optional[int] = None,
+        filter_obj: Optional[PayloadFilter] = None,
+        with_payload: bool = True,
+    ) -> List[List[Dict[str, Any]]]:
+        if mode not in SEARCH_MODES:
+            raise ValueError(f"Unknown mode: {mode}. Choose one of {SEARCH_MODES}")
+        si = self.sindex
+        if si.num_docs == 0 or not len(query_embeddings):
+            return [[] for _ in range(len(query_embeddings))]
+        dim = next(iter(si.stores.values()))
+        dim = list(dim.values())[0].shape[-1]
+        tokens, qmask, pooled = BATCH.pad_queries(query_embeddings, dim)
+        qmask = jnp.asarray(qmask, jnp.float32)
+        mask = si.doc_mask_shards(filter_obj)
+        ragged = si.stores[self.full_vector_name]
+        d = si.num_docs
+
+        if mode.startswith("single_"):
+            kind, name = self._mode_store(mode)
+            k = max(1, min(int(top_k), d))
+            plan = self._get_plan(
+                ("single", kind, name, k, tokens.shape),
+                lambda: self._plan_single(kind, k))
+            vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask, pooled)
+            return self._assemble(ids, with_payload, score=vals)
+
+        if mode == "two_stage":
+            if prefetch_k is None:
+                prefetch_k = max(100, top_k * 10)
+            kind, name = self._stage1_kind(stage1_mode)
+            pk = max(1, min(int(prefetch_k), d))
+            k = max(1, min(int(top_k), pk))
+            plan = self._get_plan(
+                ("two_stage", kind, name, pk, k, tokens.shape),
+                lambda: self._plan_two_stage(kind, pk, k))
+            vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask, pooled)
+            return self._assemble(ids, with_payload, score_stage2=vals, score_final=vals)
+
+        s1k = max(1, min(int(stage1_k or 1000), d))
+        s2k = max(1, min(int(stage2_k or 300), d))
+        k = max(1, min(int(top_k), s2k))
+        plan = self._get_plan(
+            ("three_stage", s1k, s2k, k, tokens.shape),
+            lambda: self._plan_three_stage(s1k, s2k, k))
+        vals, ids, s1_at, s2_at = plan(
+            si.stores[self.global_vector_name],
+            si.stores[self.experimental_vector_name],
+            ragged, mask, tokens, qmask, pooled)
+        return self._assemble(
+            ids, with_payload,
+            score_stage3=vals, score_final=vals,
+            score_stage1=s1_at, score_stage2=s2_at)
+
+    def _assemble(self, ids, with_payload, **score_cols):
+        ids = np.asarray(ids)
+        cols = {kk: np.asarray(vv) for kk, vv in score_cols.items()}
+        manifest = self.sindex.manifest
+        out: List[List[Dict[str, Any]]] = []
+        for b in range(ids.shape[0]):
+            rows: List[Dict[str, Any]] = []
+            for rank, gid in enumerate(ids[b]):
+                gid = int(gid)
+                if gid < 0 or gid >= self.sindex.num_docs:
+                    continue
+                first = next(iter(cols.values()))
+                if float(first[b, rank]) <= NEG_INF / 2:
+                    continue
+                rec: Dict[str, Any] = {"id": manifest.ids[gid], "rank": rank}
+                for ck, cv in cols.items():
+                    rec[ck] = float(cv[b, rank])
+                rec.setdefault("score_final", rec.get("score", rec.get("score_stage2")))
+                if with_payload:
+                    rec["payload"] = manifest.payload(gid)
+                rows.append(rec)
+            out.append(rows)
+        return out
