@@ -1,0 +1,71 @@
+"""Headline benchmark: batched two-stage retrieval QPS on the real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: a ViDoRe-v2-scale synthetic corpus (3000 ColSmol-shaped pages,
+tile-pooled named vectors, bf16 storage) and 256 queries of 8-24 tokens,
+searched with the reference's default serving operating point — two_stage,
+prefetch_k=200, top_k=10 (reference two_stage.py:128-129) — in batches of 32.
+
+Baseline: the reference's published latency illustration for the same plan is
+~50 ms/query on a 1000-doc corpus (two_stage.py:62-64), i.e. 20 QPS; no
+absolute QPS is published (BASELINE.md), so vs_baseline = measured_qps / 20.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np  # noqa: E402
+
+BASELINE_QPS = 20.0  # reference two_stage.py:62-64 illustration (~50 ms/query)
+
+
+def main():
+    from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+    from visual_rag_tpu.retrieval import RetrievalEngine
+
+    rng = np.random.default_rng(0)
+    d, dim = 3000, 128
+    builder = IndexBuilder(CollectionSchema.standard(storage_dtype="bfloat16"))
+    for i in range(d):
+        n_tiles = int(rng.integers(5, 14))
+        tokens = rng.standard_normal((n_tiles * 64, dim)).astype(np.float32)
+        mp = tokens.reshape(n_tiles, 64, dim).mean(axis=1)
+        builder.add(
+            f"d{i}",
+            {
+                "initial": tokens,
+                "mean_pooling": mp,
+                "experimental_pooling": np.concatenate([mp[:-1], tokens[-64:]]),
+                "global_pooling": mp.mean(axis=0),
+            },
+        )
+    engine = RetrievalEngine(builder.seal())
+
+    queries = [
+        rng.standard_normal((int(rng.integers(8, 25)), dim)).astype(np.float32)
+        for _ in range(256)
+    ]
+    bs = 32
+    # warm (compile)
+    engine.search_embedded_batch(queries[:bs], mode="two_stage", top_k=10, prefetch_k=200)
+    t0 = time.time()
+    for s in range(0, len(queries), bs):
+        engine.search_embedded_batch(
+            queries[s : s + bs], mode="two_stage", top_k=10, prefetch_k=200)
+    dt = time.time() - t0
+    qps = len(queries) / dt
+    print(json.dumps({
+        "metric": "two_stage_qps_3000doc_bf16",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

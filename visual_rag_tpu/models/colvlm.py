@@ -1,0 +1,337 @@
+"""Config-driven ColVLM in flax.linen: vision tower + merger + LM + projection.
+
+Architecture family (shapes configurable to the ColSmol / ColPali / ColQwen2.5
+operating points the reference drives through colpali-engine):
+
+- vision tower: ViT with conv patch embed, learned positions, pre-LN blocks,
+  GELU MLP (SigLIP shape)
+- optional PatchMerger: 2x2 spatial merge + MLP (Qwen2.5-VL shape; gives the
+  "effective grid" H/2 x W/2 the reference infers at
+  visual_embedder.py:654-667)
+- language model: decoder-only transformer with RMSNorm, RoPE, grouped-query
+  attention, SwiGLU MLP (Llama/Gemma/Qwen shape)
+- projection: hidden -> dim (128) linear; outputs L2-normalized per-token
+  embeddings, the late-interaction representation
+
+Everything is static-shape and jit-friendly: images arrive as
+[B, N_patches, patch_pixels], text as [B, L] ids; image embeddings are merged
+into the sequence at image-placeholder positions with a mask-based select.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+DEFAULT_EMBED_DIM = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    patch_pixels: int = 3 * 16 * 16  # flattened patch input size
+    max_patches: int = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    hidden: int = 960
+    layers: int = 12
+    heads: int = 15
+    kv_heads: int = 5
+    mlp_hidden: int = 2560
+    vocab: int = 49280
+    rope_theta: float = 100000.0
+    max_seq: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class ColVLMConfig:
+    """Full model config. ``spatial_merge`` 1 = ColSmol/ColPali, 2 = ColQwen2.5."""
+
+    vision: VisionConfig = VisionConfig()
+    text: TextConfig = TextConfig()
+    embed_dim: int = DEFAULT_EMBED_DIM
+    spatial_merge: int = 1
+    image_token_id: int = 49190
+    dtype: str = "bfloat16"
+
+    @classmethod
+    def colsmol_500m(cls) -> "ColVLMConfig":
+        """ColSmol-500M shape (SmolVLM2-500M backbone: SigLIP-B/16 + 500M LM)."""
+        return cls(
+            vision=VisionConfig(hidden=768, layers=12, heads=12, patch_pixels=3 * 16 * 16,
+                                max_patches=2048),
+            text=TextConfig(hidden=960, layers=32, heads=15, kv_heads=5,
+                            mlp_hidden=2560, vocab=49280),
+            spatial_merge=1,
+        )
+
+    @classmethod
+    def colpali_v13(cls) -> "ColVLMConfig":
+        """ColPali-v1.3 shape (PaliGemma-3B: SigLIP-So400m + Gemma-2B)."""
+        return cls(
+            vision=VisionConfig(hidden=1152, layers=27, heads=16, patch_pixels=3 * 14 * 14,
+                                max_patches=1024),
+            text=TextConfig(hidden=2048, layers=18, heads=8, kv_heads=1,
+                            mlp_hidden=16384, vocab=257216, rope_theta=10000.0),
+            spatial_merge=1,
+            image_token_id=257152,
+        )
+
+    @classmethod
+    def colqwen25_v02(cls) -> "ColVLMConfig":
+        """ColQwen2.5-v0.2 shape (Qwen2.5-VL-3B: window-attn ViT + 2x2 merge)."""
+        return cls(
+            vision=VisionConfig(hidden=1280, layers=32, heads=16, patch_pixels=3 * 14 * 14,
+                                max_patches=4096),
+            text=TextConfig(hidden=2048, layers=36, heads=16, kv_heads=2,
+                            mlp_hidden=11008, vocab=151936, rope_theta=1000000.0),
+            spatial_merge=2,
+            image_token_id=151655,
+        )
+
+    @classmethod
+    def tiny(cls) -> "ColVLMConfig":
+        """Test/dry-run scale."""
+        return cls(
+            vision=VisionConfig(hidden=64, layers=2, heads=4, patch_pixels=48,
+                                max_patches=512),
+            text=TextConfig(hidden=64, layers=2, heads=4, kv_heads=2,
+                            mlp_hidden=128, vocab=512, max_seq=128),
+            spatial_merge=1,
+            image_token_id=500,
+        )
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding over the last dim of [B, T, H, Dh]."""
+    dh = x.shape[-1]
+    half = dh // 2
+    freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, half]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        x32 = x.astype(jnp.float32)
+        norm = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + self.eps)
+        return (norm * scale).astype(x.dtype)
+
+
+class GQAttention(nn.Module):
+    """Grouped-query attention with optional RoPE and causal masking."""
+
+    heads: int
+    kv_heads: int
+    rope_theta: Optional[float] = None
+    causal: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask, positions=None):
+        b, t, h = x.shape
+        dh = h // self.heads
+        q = nn.Dense(self.heads * dh, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.kv_heads * dh, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.kv_heads * dh, use_bias=False, dtype=self.dtype, name="v")(x)
+        q = q.reshape(b, t, self.heads, dh)
+        k = k.reshape(b, t, self.kv_heads, dh)
+        v = v.reshape(b, t, self.kv_heads, dh)
+        if self.rope_theta is not None:
+            if positions is None:
+                positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+            q = _rope(q, positions, self.rope_theta)
+            k = _rope(k, positions, self.rope_theta)
+        rep = self.heads // self.kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(dh).astype(jnp.float32)
+        big_neg = jnp.finfo(jnp.float32).min
+        attn_mask = mask[:, None, None, :]  # [B, 1, 1, K]
+        if self.causal:
+            causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+            attn_mask = attn_mask & causal[None, None, :, :]
+        logits = jnp.where(attn_mask, logits, big_neg)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = out.reshape(b, t, self.heads * dh)
+        return nn.Dense(h, use_bias=False, dtype=self.dtype, name="o")(out)
+
+
+class SwiGLU(nn.Module):
+    mlp_hidden: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        gate = nn.Dense(self.mlp_hidden, use_bias=False, dtype=self.dtype, name="gate")(x)
+        up = nn.Dense(self.mlp_hidden, use_bias=False, dtype=self.dtype, name="up")(x)
+        return nn.Dense(x.shape[-1], use_bias=False, dtype=self.dtype, name="down")(
+            nn.silu(gate) * up
+        )
+
+
+class DecoderBlock(nn.Module):
+    cfg: TextConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask, positions):
+        h = x + GQAttention(
+            heads=self.cfg.heads, kv_heads=self.cfg.kv_heads,
+            rope_theta=self.cfg.rope_theta, causal=True, dtype=self.dtype,
+            name="attn",
+        )(RMSNorm(name="ln1")(x), mask, positions)
+        h = h + SwiGLU(self.cfg.mlp_hidden, dtype=self.dtype, name="mlp")(
+            RMSNorm(name="ln2")(h)
+        )
+        return h
+
+
+class ViTBlock(nn.Module):
+    cfg: VisionConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = x + GQAttention(
+            heads=self.cfg.heads, kv_heads=self.cfg.heads, rope_theta=None,
+            causal=False, dtype=self.dtype, name="attn",
+        )(nn.LayerNorm(dtype=self.dtype, name="ln1")(x), mask)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(h)
+        y = nn.Dense(int(self.cfg.hidden * self.cfg.mlp_ratio), dtype=self.dtype,
+                     name="fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.cfg.hidden, dtype=self.dtype, name="fc2")(y)
+        return h + y
+
+
+class VisionTower(nn.Module):
+    cfg: VisionConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, patches, patch_mask):
+        # patches: [B, N, patch_pixels] flattened pixel patches
+        b, n, _ = patches.shape
+        if n > self.cfg.max_patches:
+            raise ValueError(
+                f"{n} patches exceeds vision.max_patches={self.cfg.max_patches}")
+        x = nn.Dense(self.cfg.hidden, dtype=self.dtype, name="patch_embed")(
+            patches.astype(self.dtype))
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (self.cfg.max_patches, self.cfg.hidden)
+        )
+        x = x + pos[:n][None, :, :].astype(self.dtype)
+        for i in range(self.cfg.layers):
+            x = ViTBlock(self.cfg, dtype=self.dtype, name=f"block_{i}")(x, patch_mask)
+        return nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)
+
+
+class PatchMerger(nn.Module):
+    """Qwen2.5-VL style 2x2 spatial merge + MLP to the LM hidden size."""
+
+    out_hidden: int
+    merge: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, N, H] with N divisible by merge**2, row-major over the grid
+        b, n, h = x.shape
+        m2 = self.merge * self.merge
+        x = x.reshape(b, n // m2, m2 * h)
+        x = nn.Dense(m2 * h, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.out_hidden, dtype=self.dtype, name="fc2")(x)
+
+
+class ColVLM(nn.Module):
+    """Late-interaction VLM: returns L2-normalized [B, L, embed_dim] tokens."""
+
+    cfg: ColVLMConfig
+
+    def setup(self):
+        dtype = jnp.dtype(self.cfg.dtype)
+        self._dtype = dtype
+        self.vision = VisionTower(self.cfg.vision, dtype=dtype)
+        if self.cfg.spatial_merge > 1:
+            self.merger = PatchMerger(
+                out_hidden=self.cfg.text.hidden, merge=self.cfg.spatial_merge, dtype=dtype)
+        else:
+            self.connector = nn.Dense(self.cfg.text.hidden, dtype=dtype, name="connector")
+        self.tok_embed = nn.Embed(
+            self.cfg.text.vocab, self.cfg.text.hidden, dtype=dtype,
+            embedding_init=nn.initializers.normal(0.02))
+        self.blocks = [
+            DecoderBlock(self.cfg.text, dtype=dtype, name=f"layer_{i}")
+            for i in range(self.cfg.text.layers)
+        ]
+        self.final_norm = RMSNorm()
+        self.proj = nn.Dense(self.cfg.embed_dim, use_bias=False, dtype=dtype,
+                             name="embedding_proj")
+
+    def encode_images(self, patches, patch_mask):
+        """[B, N, patch_pixels] -> [B, N', text_hidden] image token embeddings."""
+        feats = self.vision(patches, patch_mask)
+        if self.cfg.spatial_merge > 1:
+            return self.merger(feats)
+        return self.connector(feats)
+
+    def _lm(self, embeds, mask):
+        positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+        positions = jnp.maximum(positions, 0)
+        h = embeds
+        for blk in self.blocks:
+            h = blk(h, mask, positions)
+        return self.final_norm(h)
+
+    def _project(self, h, mask):
+        e = self.proj(h).astype(jnp.float32)
+        e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
+        return e * mask[..., None].astype(jnp.float32)
+
+    def __call__(self, input_ids, attn_mask, patches=None, patch_mask=None):
+        """Forward pages (ids containing image placeholders) or plain queries.
+
+        input_ids: [B, L]; image placeholder positions (== cfg.image_token_id)
+        are filled with the image embeddings IN ORDER (mask-based merge, like
+        HF's masked_scatter path).
+        """
+        x = self.tok_embed(input_ids)
+        if patches is not None:
+            img = self.encode_images(patches, patch_mask)  # [B, Ni, H]
+            is_img = input_ids == self.cfg.image_token_id  # [B, L]
+            # index of each image slot within its row: 0..Ni-1
+            slot = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1
+            slot = jnp.clip(slot, 0, img.shape[1] - 1)
+            gathered = jnp.take_along_axis(img, slot[..., None], axis=1)
+            x = jnp.where(is_img[..., None], gathered.astype(x.dtype), x)
+        h = self._lm(x, attn_mask)
+        return self._project(h, attn_mask)
+
+    def embed_queries(self, input_ids, attn_mask):
+        return self(input_ids, attn_mask)
+
+    def embed_pages(self, input_ids, attn_mask, patches, patch_mask):
+        return self(input_ids, attn_mask, patches, patch_mask)

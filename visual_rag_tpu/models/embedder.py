@@ -1,0 +1,293 @@
+"""VisualEmbedder: the reference's embedding facade on the JAX ColVLM.
+
+API parity with reference visual_embedder.py:
+
+- backend auto-detect from the model name (MODEL_BACKENDS, :63-68)
+- embed_query / embed_queries with length-sort bucketing and a NaN/Inf guard
+  that logs a reproducible JSONL sample and recomputes the query solo
+  (:410-574)
+- embed_images(return_token_info) emitting per-image token info
+  (visual_token_indices, tile grid, ColQwen effective grid) (:576-704)
+- extract_visual_embedding, mean_pool_visual_embedding (model-aware dispatch,
+  :735-835), experimental_pool_visual_embedding (kernel select, :842-923),
+  global_pool_from_mean_pool (:837-840)
+
+Model weights: randomly initialized by default (checkpoint loading is a
+converter concern); every downstream component (pooling, index, retrieval,
+benchmarks) is embedder-agnostic and exact regardless of weights.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_rag_tpu.models.colvlm import ColVLM, ColVLMConfig
+from visual_rag_tpu.models.processors import ImageProcessor
+from visual_rag_tpu.ops import pooling as pool_ops
+
+logger = logging.getLogger(__name__)
+
+# reference visual_embedder.py:63-68
+MODEL_BACKENDS = {
+    "colsmol": "colsmol",
+    "colqwen2.5": "colqwen2.5",
+    "colqwen2_5": "colqwen2.5",
+    "colqwen2": "colqwen2",
+    "colpali": "colpali",
+}
+
+_CONFIG_BY_BACKEND = {
+    "colsmol": ColVLMConfig.colsmol_500m,
+    "colpali": ColVLMConfig.colpali_v13,
+    "colqwen2.5": ColVLMConfig.colqwen25_v02,
+    "colqwen2": ColVLMConfig.colqwen25_v02,
+}
+
+
+def detect_backend(model_name: str) -> str:
+    name = (model_name or "").lower()
+    for key, backend in MODEL_BACKENDS.items():
+        if key in name:
+            return backend
+    return "colpali"
+
+
+class VisualEmbedder:
+    """Late-interaction embedder over a flax ColVLM."""
+
+    def __init__(
+        self,
+        model_name: str = "vidore/colSmol-500M",
+        batch_size: int = 8,
+        output_dtype=np.float32,
+        config: Optional[ColVLMConfig] = None,
+        params: Optional[Any] = None,
+        seed: int = 0,
+        sort_queries_by_length: Optional[bool] = None,
+        nan_log_dir: Optional[str] = None,
+    ):
+        self.model_name = model_name
+        self.backend = detect_backend(model_name)
+        self.batch_size = int(batch_size)
+        self.output_dtype = np.dtype(output_dtype)
+        self.cfg = config or _CONFIG_BY_BACKEND[self.backend]()
+        self.model = ColVLM(self.cfg)
+        self._params = params
+        self._seed = seed
+        merge2 = self.cfg.spatial_merge * self.cfg.spatial_merge
+        self.processor = ImageProcessor(
+            backend=self.backend,
+            image_token_id=self.cfg.image_token_id,
+            patch_pixels=self.cfg.vision.patch_pixels,
+            vocab=self.cfg.text.vocab,
+            max_visual_tokens=self.cfg.vision.max_patches // max(merge2, 1),
+        )
+        if sort_queries_by_length is None:
+            sort_queries_by_length = os.environ.get(
+                "VISUALRAG_SORT_QUERIES_BY_LENGTH", "0") in ("1", "true")
+        self.sort_queries_by_length = bool(sort_queries_by_length)
+        self.nan_log_dir = nan_log_dir or os.environ.get(
+            "VISUALRAG_NAN_LOG_DIR", "results/nan_samples")
+        self._jit_queries = jax.jit(
+            lambda p, ids, mask: self.model.apply(p, ids, mask))
+        self._jit_pages = jax.jit(
+            lambda p, ids, mask, patches, pmask: self.model.apply(
+                p, ids, mask, patches, pmask))
+
+    # -- parameters (lazy init like the reference's lazy model load) --------
+
+    @property
+    def params(self):
+        if self._params is None:
+            logger.info("Initializing %s (%s) parameters", self.model_name, self.backend)
+            proc = self.processor.process_images([np.zeros((64, 64, 3), np.float32)])
+            self._params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(self._seed),
+                jnp.asarray(proc.input_ids), jnp.asarray(proc.attn_mask),
+                jnp.asarray(proc.patches), jnp.asarray(proc.patch_mask))
+        return self._params
+
+    # -- queries -------------------------------------------------------------
+
+    def embed_query(self, query: str, include_special_tokens: bool = False) -> np.ndarray:
+        return self.embed_queries([query], include_special_tokens=include_special_tokens)[0]
+
+    def embed_queries(
+        self,
+        queries: Sequence[str],
+        batch_size: Optional[int] = None,
+        include_special_tokens: bool = False,
+    ) -> List[np.ndarray]:
+        """Batched query embedding with NaN guard + solo-recompute fallback."""
+        batch_size = batch_size or self.batch_size
+        order = list(range(len(queries)))
+        if self.sort_queries_by_length:
+            order.sort(key=lambda i: len(queries[i].split()))
+        results: List[Optional[np.ndarray]] = [None] * len(queries)
+        for s in range(0, len(order), batch_size):
+            chunk = order[s : s + batch_size]
+            texts = [queries[i] for i in chunk]
+            embs = self._embed_query_batch(texts, include_special_tokens)
+            for i, e in zip(chunk, embs):
+                if not np.isfinite(e).all():
+                    self._log_nan_sample(queries[i])
+                    e = self._embed_query_batch([queries[i]], include_special_tokens)[0]
+                    if not np.isfinite(e).all():
+                        e = np.nan_to_num(e)
+                results[i] = e
+        return results  # type: ignore[return-value]
+
+    def _embed_query_batch(self, texts, include_special_tokens):
+        ids, mask = self.processor.process_queries(texts)
+        emb = np.asarray(self._jit_queries(
+            self.params, jnp.asarray(ids), jnp.asarray(mask)), dtype=np.float32)
+        out = []
+        for i in range(len(texts)):
+            keep = mask[i]
+            if not include_special_tokens:
+                # reference heuristic: real tokens are attention-masked AND id>=4
+                keep = keep & (ids[i] >= 4)
+            out.append(emb[i][keep].astype(self.output_dtype))
+        return out
+
+    def _log_nan_sample(self, query: str) -> None:
+        try:
+            path = Path(self.nan_log_dir)
+            path.mkdir(parents=True, exist_ok=True)
+            with open(path / "nan_queries.jsonl", "a", encoding="utf-8") as f:
+                f.write(json.dumps({
+                    "ts": time.time(), "model": self.model_name, "query": query,
+                }) + "\n")
+        except OSError:  # logging must never break embedding
+            pass
+        logger.warning("NaN/Inf in query embedding; recomputing solo: %r", query[:80])
+
+    # -- images --------------------------------------------------------------
+
+    def embed_images(
+        self,
+        images: Sequence,
+        batch_size: Optional[int] = None,
+        return_token_info: bool = False,
+        show_progress: bool = False,
+    ) -> Union[List[np.ndarray], Tuple[List[np.ndarray], List[Dict[str, Any]]]]:
+        batch_size = batch_size or self.batch_size
+        embeddings: List[np.ndarray] = []
+        infos: List[Dict[str, Any]] = []
+        for s in range(0, len(images), batch_size):
+            proc = self.processor.process_images(list(images[s : s + batch_size]))
+            emb = np.asarray(self._jit_pages(
+                self.params,
+                jnp.asarray(proc.input_ids), jnp.asarray(proc.attn_mask),
+                jnp.asarray(proc.patches), jnp.asarray(proc.patch_mask)),
+                dtype=np.float32)
+            for i, info in enumerate(proc.token_infos):
+                n_valid = int(proc.attn_mask[i].sum())
+                embeddings.append(emb[i, :n_valid].astype(self.output_dtype))
+                infos.append(info)
+        if return_token_info:
+            return embeddings, infos
+        return embeddings
+
+    def extract_visual_embedding(self, full_embedding, token_info) -> np.ndarray:
+        """Gather visual-token rows (reference visual_embedder.py:706-733)."""
+        idx = np.asarray(token_info["visual_token_indices"], dtype=np.int64)
+        return np.asarray(full_embedding)[idx].astype(self.output_dtype)
+
+    # -- pooling dispatch (reference :735-923) -------------------------------
+
+    def mean_pool_visual_embedding(
+        self, visual_embedding, token_info: Optional[Dict[str, Any]] = None,
+        *, target_vectors: Optional[int] = 32,
+    ) -> np.ndarray:
+        is_colsmol = self.backend == "colsmol"
+        is_colqwen25 = self.backend == "colqwen2.5"
+        cap = None if target_vectors is None or int(target_vectors) <= 0 else int(target_vectors)
+        if not is_colqwen25 and cap is None:
+            cap = 32
+        visual_np = np.asarray(visual_embedding, dtype=np.float32)
+        num_tokens = int(visual_np.shape[0])
+
+        if is_colsmol:
+            info = token_info or {}
+            n_rows, n_cols = info.get("n_rows"), info.get("n_cols")
+            num_tiles = int(n_rows) * int(n_cols) + 1 if n_rows and n_cols else 13
+            return np.asarray(pool_ops.tile_level_mean_pooling(
+                visual_np, num_tiles=num_tiles, patches_per_tile=64,
+                output_dtype=self.output_dtype))
+
+        if is_colqwen25:
+            info = token_info or {}
+            gh, gw = info.get("grid_h_eff"), info.get("grid_w_eff")
+            if gh and gw and int(gh) * int(gw) == num_tokens:
+                target_rows = int(gh) if cap is None else min(cap, int(gh))
+                return np.asarray(pool_ops.adaptive_row_mean_pooling_from_grid(
+                    visual_np, grid_h=int(gh), grid_w=int(gw),
+                    target_rows=target_rows, output_dtype=self.output_dtype))
+
+        grid = int(round(num_tokens ** 0.5))
+        if grid * grid == num_tokens:
+            target = grid if (is_colqwen25 and cap is None) else int(cap)
+            if grid == target:
+                return np.asarray(pool_ops.colpali_row_mean_pooling(
+                    visual_np, grid_size=target, output_dtype=self.output_dtype))
+            return np.asarray(pool_ops.adaptive_row_mean_pooling_from_grid(
+                visual_np, grid_h=grid, grid_w=grid, target_rows=target,
+                output_dtype=self.output_dtype))
+
+        return np.asarray(pool_ops.sequence_chunk_mean_pooling(
+            visual_np, target_rows=int(cap or 32), output_dtype=self.output_dtype))
+
+    def global_pool_from_mean_pool(self, mean_pool: np.ndarray) -> np.ndarray:
+        if mean_pool.size == 0:
+            return np.zeros((self.cfg.embed_dim,), dtype=self.output_dtype)
+        return np.asarray(mean_pool, dtype=np.float32).mean(axis=0).astype(self.output_dtype)
+
+    def experimental_pool_visual_embedding(
+        self, visual_embedding, token_info: Optional[Dict[str, Any]] = None,
+        *, target_vectors: Optional[int] = 32, mean_pool: Optional[np.ndarray] = None,
+        window_size: Optional[int] = None, kernel: Optional[str] = None,
+    ) -> np.ndarray:
+        is_colsmol = self.backend == "colsmol"
+        is_colqwen25 = self.backend == "colqwen2.5"
+        visual_np = np.asarray(visual_embedding, dtype=np.float32)
+
+        if is_colsmol:
+            if mean_pool is not None and getattr(mean_pool, "shape", None) and mean_pool.shape[0] > 0:
+                num_tiles = int(mean_pool.shape[0])
+            else:
+                info = token_info or {}
+                num_tiles = info.get("num_tiles")
+                if num_tiles is None:
+                    nv = info.get("num_visual_tokens") or int(visual_np.shape[0])
+                    num_tiles = -(-int(nv) // 64)
+            return np.asarray(pool_ops.colsmol_experimental_pooling(
+                visual_np, num_tiles=int(num_tiles), patches_per_tile=64,
+                output_dtype=self.output_dtype))
+
+        rows = mean_pool if mean_pool is not None else self.mean_pool_visual_embedding(
+            visual_np, token_info, target_vectors=target_vectors)
+        k = (kernel or ("gaussian" if is_colqwen25 else "legacy")).lower().strip()
+        if k in ("legacy", "legacy_conv", "conv"):
+            window = int(window_size) if window_size is not None else (5 if is_colqwen25 else 3)
+            return np.asarray(pool_ops.colpali_experimental_pooling_from_rows(
+                rows, window_size=window, output_dtype=self.output_dtype))
+        window = int(window_size) if window_size is not None else 3
+        return np.asarray(pool_ops.weighted_row_smoothing_same_length(
+            rows, window_size=window,
+            kernel=("gaussian" if k == "gaussian"
+                    else ("triangular" if k == "triangular" else "uniform")),
+            output_dtype=self.output_dtype))
+
+
+# Backward-compatibility alias (reference visual_embedder.py:927)
+ColPaliEmbedder = VisualEmbedder

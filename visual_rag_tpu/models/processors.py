@@ -1,0 +1,235 @@
+"""Host-side processors: images -> patch arrays + token info; text -> ids.
+
+The reference delegates this to HF processors (AutoProcessor per backend).
+Here the tiling math is implemented natively, mirroring the reference's
+geometry contracts:
+
+- ColSmol: longest-edge-2048 resize, 512px tile grid + one global tile,
+  64 visual tokens per tile (reference pdf_processor.resize_for_colpali
+  :198-257 + visual_embedder token info :626-682)
+- ColPali: fixed 32x32 = 1024 patch grid
+- ColQwen2.5: dynamic-resolution grid with 2x2 spatial merge; emits the
+  pre-merge grid (grid_h/grid_w) and effective grid (grid_h_eff/grid_w_eff)
+
+The tokenizer is a deterministic byte-hash tokenizer (ids >= 4, so the
+reference's special-token filter heuristic `input_ids >= 4` keeps real text
+tokens); swap in an HF tokenizer for checkpoint-faithful inference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+PATCHES_PER_TILE = 64  # ColSmol contract (reference pooling.py:35-98)
+
+
+# ---------------------------------------------------------------------------
+# Text tokenization
+# ---------------------------------------------------------------------------
+
+
+class HashTokenizer:
+    """Deterministic word-level tokenizer: ids in [4, vocab) (0-3 reserved)."""
+
+    def __init__(self, vocab: int = 49280, pad_id: int = 0, bos_id: int = 1):
+        self.vocab = int(vocab)
+        self.pad_id = pad_id
+        self.bos_id = bos_id
+
+    def encode(self, text: str) -> List[int]:
+        ids = [self.bos_id]
+        for word in text.lower().split():
+            h = int.from_bytes(hashlib.sha1(word.encode()).digest()[:4], "little")
+            ids.append(4 + h % (self.vocab - 4))
+        return ids
+
+    def batch_encode(self, texts: Sequence[str], max_len: Optional[int] = None):
+        encoded = [self.encode(t) for t in texts]
+        max_len = max_len or max(len(e) for e in encoded)
+        ids = np.full((len(texts), max_len), self.pad_id, dtype=np.int32)
+        mask = np.zeros((len(texts), max_len), dtype=bool)
+        for i, e in enumerate(encoded):
+            e = e[:max_len]
+            ids[i, : len(e)] = e
+            mask[i, : len(e)] = True
+        return ids, mask
+
+
+# ---------------------------------------------------------------------------
+# Image geometry (reference resize_for_colpali parity)
+# ---------------------------------------------------------------------------
+
+
+def compute_tile_grid(width: int, height: int, max_edge: int = 2048,
+                      tile_size: int = 512) -> Tuple[int, int, int, int]:
+    """(new_w, new_h, tile_cols, tile_rows) per reference pdf_processor.py:198-257.
+
+    Longest edge scaled to <= max_edge, then the canvas is the tile grid that
+    covers the resized image.
+    """
+    scale = min(1.0, max_edge / max(width, height))
+    new_w = max(1, int(round(width * scale)))
+    new_h = max(1, int(round(height * scale)))
+    tile_cols = -(-new_w // tile_size)
+    tile_rows = -(-new_h // tile_size)
+    return new_w, new_h, tile_cols, tile_rows
+
+
+def _to_array(image) -> np.ndarray:
+    """PIL image or ndarray -> float32 [H, W, 3] in [0, 1]."""
+    if hasattr(image, "convert"):  # PIL
+        image = np.asarray(image.convert("RGB"), dtype=np.float32) / 255.0
+    else:
+        image = np.asarray(image, dtype=np.float32)
+        if image.ndim == 2:
+            image = np.stack([image] * 3, axis=-1)
+        if image.max() > 1.5:
+            image = image / 255.0
+    return image
+
+
+def _resize_nn(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbour resize (no scipy/PIL dependency on the hot path)."""
+    ys = np.clip((np.arange(h) * img.shape[0] / h).astype(int), 0, img.shape[0] - 1)
+    xs = np.clip((np.arange(w) * img.shape[1] / w).astype(int), 0, img.shape[1] - 1)
+    return img[ys][:, xs]
+
+
+@dataclasses.dataclass
+class ProcessedImages:
+    patches: np.ndarray  # [B, N, patch_pixels] float32
+    patch_mask: np.ndarray  # [B, N] bool
+    input_ids: np.ndarray  # [B, L] int32 (image placeholders + prompt)
+    attn_mask: np.ndarray  # [B, L] bool
+    token_infos: List[Dict[str, Any]]
+
+
+class ImageProcessor:
+    """Backend-aware image -> patches + token-info processor."""
+
+    def __init__(self, backend: str, image_token_id: int, patch_pixels: int,
+                 vocab: int = 49280, max_visual_tokens: int = 768):
+        self.backend = backend
+        self.image_token_id = int(image_token_id)
+        self.patch_pixels = int(patch_pixels)
+        self.max_visual_tokens = int(max_visual_tokens)
+        self.tokenizer = HashTokenizer(vocab=vocab)
+        # side length of the square pixel patch each token sees
+        side = int(round((patch_pixels / 3) ** 0.5))
+        self.patch_side = max(side, 1)
+
+    def _image_tokens_colsmol(self, image: np.ndarray):
+        w, h = image.shape[1], image.shape[0]
+        _, _, cols, rows = compute_tile_grid(w, h)
+        num_tiles = rows * cols + 1  # + global tile
+        n_tokens = num_tiles * PATCHES_PER_TILE
+        # Each tile is resized so it yields an 8x8 grid of patch_side patches.
+        grid_side = int(PATCHES_PER_TILE ** 0.5)  # 8
+        tile_px = grid_side * self.patch_side
+        canvas = _resize_nn(image, rows * tile_px, cols * tile_px)
+        patches = []
+        for r in range(rows):
+            for c in range(cols):
+                tile = canvas[r * tile_px : (r + 1) * tile_px,
+                              c * tile_px : (c + 1) * tile_px]
+                patches.append(self._patchify(tile, grid_side, grid_side))
+        patches.append(self._patchify(_resize_nn(image, tile_px, tile_px),
+                                      grid_side, grid_side))
+        info = {
+            "n_rows": rows, "n_cols": cols, "num_tiles": num_tiles,
+            "num_visual_tokens": n_tokens,
+            "grid_t": None, "grid_h": None, "grid_w": None,
+            "grid_h_eff": None, "grid_w_eff": None,
+        }
+        return np.concatenate(patches, axis=0), info
+
+    def _image_tokens_colpali(self, image: np.ndarray):
+        g = 32
+        canvas = _resize_nn(image, g * self.patch_side, g * self.patch_side)
+        patches = self._patchify(canvas, g, g)
+        info = {
+            "n_rows": None, "n_cols": None, "num_tiles": None,
+            "num_visual_tokens": g * g,
+            "grid_t": None, "grid_h": None, "grid_w": None,
+            "grid_h_eff": None, "grid_w_eff": None,
+        }
+        return patches, info
+
+    def _image_tokens_colqwen(self, image: np.ndarray, max_tokens: Optional[int] = None):
+        max_tokens = max_tokens or self.max_visual_tokens
+        # dynamic grid: keep aspect; pre-merge grid (2h x 2w), effective h x w
+        h_px, w_px = image.shape[0], image.shape[1]
+        aspect = w_px / max(h_px, 1)
+        h_eff = max(2, int(round((max_tokens / aspect) ** 0.5)))
+        w_eff = max(2, int(round(aspect * h_eff)))
+        while h_eff * w_eff > max_tokens:
+            if w_eff >= h_eff and w_eff > 2:
+                w_eff -= 1
+            elif h_eff > 2:
+                h_eff -= 1
+            else:
+                break
+        gh, gw = 2 * h_eff, 2 * w_eff  # pre-merge patch grid
+        canvas = _resize_nn(image, gh * self.patch_side, gw * self.patch_side)
+        patches = self._patchify(canvas, gh, gw)
+        info = {
+            "n_rows": None, "n_cols": None, "num_tiles": None,
+            "num_visual_tokens": h_eff * w_eff,
+            "grid_t": 1, "grid_h": gh, "grid_w": gw,
+            "grid_h_eff": h_eff, "grid_w_eff": w_eff,
+        }
+        return patches, info
+
+    def _patchify(self, canvas: np.ndarray, rows: int, cols: int) -> np.ndarray:
+        ps = self.patch_side
+        canvas = canvas[: rows * ps, : cols * ps]
+        out = canvas.reshape(rows, ps, cols, ps, 3).transpose(0, 2, 1, 3, 4)
+        out = out.reshape(rows * cols, ps * ps * 3)
+        if out.shape[1] != self.patch_pixels:  # defensive: pad/trim pixel dim
+            fixed = np.zeros((out.shape[0], self.patch_pixels), dtype=np.float32)
+            n = min(out.shape[1], self.patch_pixels)
+            fixed[:, :n] = out[:, :n]
+            out = fixed
+        return out.astype(np.float32)
+
+    def process_images(self, images: Sequence, prompt: str = "Describe the image.") -> ProcessedImages:
+        per_image = []
+        for img in images:
+            arr = _to_array(img)
+            if self.backend == "colsmol":
+                per_image.append(self._image_tokens_colsmol(arr))
+            elif self.backend in ("colqwen2.5", "colqwen2"):
+                per_image.append(self._image_tokens_colqwen(arr))
+            else:
+                per_image.append(self._image_tokens_colpali(arr))
+        n_patches = max(p.shape[0] for p, _ in per_image)
+        prompt_ids = self.tokenizer.encode(prompt)
+        b = len(images)
+        # image tokens after merge (colqwen merges 4 patches -> 1 token)
+        n_img_tokens = [info["num_visual_tokens"] for _, info in per_image]
+        seq = max(n_img_tokens) + len(prompt_ids)
+        patches = np.zeros((b, n_patches, self.patch_pixels), dtype=np.float32)
+        patch_mask = np.zeros((b, n_patches), dtype=bool)
+        input_ids = np.zeros((b, seq), dtype=np.int32)
+        attn_mask = np.zeros((b, seq), dtype=bool)
+        infos = []
+        for i, (p, info) in enumerate(per_image):
+            patches[i, : p.shape[0]] = p
+            patch_mask[i, : p.shape[0]] = True
+            nv = info["num_visual_tokens"]
+            input_ids[i, :nv] = self.image_token_id
+            input_ids[i, nv : nv + len(prompt_ids)] = prompt_ids
+            attn_mask[i, : nv + len(prompt_ids)] = True
+            info = dict(info)
+            info["visual_token_indices"] = list(range(nv))
+            infos.append(info)
+        return ProcessedImages(patches, patch_mask, input_ids, attn_mask, infos)
+
+    def process_queries(self, texts: Sequence[str], max_len: Optional[int] = None):
+        ids, mask = self.tokenizer.batch_encode(
+            [f"query: {t}" for t in texts], max_len=max_len)
+        return ids, mask
