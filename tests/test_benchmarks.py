@@ -1,0 +1,172 @@
+"""Benchmark harness: loaders, union-id protocol, evaluation plumbing."""
+
+import numpy as np
+import pytest
+
+from benchmarks.dataset_loader import (
+    drop_empty_queries,
+    load_beir_from_rows,
+    load_paired_from_rows,
+    normalize_qrels,
+)
+from benchmarks.run_tpu_beir import (
+    evaluate,
+    index_beir_corpus,
+    make_schema_for_embedder,
+    remap_and_prune_qrels,
+)
+from visual_rag_tpu.index import IndexBuilder
+from visual_rag_tpu.models.colvlm import ColVLMConfig
+from visual_rag_tpu.models.embedder import VisualEmbedder
+from visual_rag_tpu.retrieval import RetrievalEngine
+from visual_rag_tpu.utils.ids import union_point_id
+
+
+class TestLoaders:
+    def test_normalize_qrels_drops_nonpositive(self):
+        qrels = normalize_qrels([
+            {"query-id": "q1", "corpus-id": "d1", "score": 2},
+            {"query-id": "q1", "corpus-id": "d2", "score": 0},
+            {"query-id": "q2", "corpus-id": "d3", "score": -1},
+            {"query_id": "q3", "doc_id": "d4"},  # alt field names, default score
+        ])
+        assert qrels == {"q1": {"d1": 2}, "q3": {"d4": 1}}
+
+    def test_beir_from_rows_field_tolerant(self):
+        ds = load_beir_from_rows(
+            "test_ds",
+            corpus_rows=[{"corpus-id": "c1", "image": None, "extra": "m"},
+                         {"_id": "c2"}],
+            query_rows=[{"query-id": "q1", "query": "find things"},
+                        {"query-id": "q2", "query": ""}],
+            qrels_rows=[{"query-id": "q1", "corpus-id": "c1", "score": 1}],
+        )
+        assert [d.doc_id for d in ds.corpus] == ["c1", "c2"]
+        assert len(ds.queries) == 1  # q2 dropped: empty text + no positives
+        assert ds.queries[0].query_id == "q1"
+        assert ds.corpus[0].metadata["extra"] == "m"
+
+    def test_paired_from_rows(self):
+        ds = load_paired_from_rows("v1ds", [
+            {"image_filename": "a.jpg", "query": "what is x", "image": None},
+            {"image_filename": "b.jpg", "query": "", "image": None},
+        ])
+        assert len(ds.corpus) == 2
+        assert len(ds.queries) == 1
+        (qid, rels), = ds.qrels.items()
+        assert list(rels.values()) == [1]
+
+    def test_drop_empty_queries(self):
+        from benchmarks.dataset_loader import Query
+
+        qs = [Query("a", "text"), Query("b", ""), Query("c", "more")]
+        kept = drop_empty_queries(qs, {"a": {"d": 1}, "b": {"d": 1}})
+        assert [q.query_id for q in kept] == ["a"]
+
+
+@pytest.fixture(scope="module")
+def harness():
+    cfg = ColVLMConfig.tiny()
+    embedder = VisualEmbedder("vidore/colSmol-500M", config=cfg, batch_size=4)
+    queries = ["alpha budget report", "beta hospital records", "gamma audit"]
+    q_embs = embedder.embed_queries(queries)
+    rng = np.random.default_rng(0)
+    corpus_rows = []
+    # doc i is "relevant" to query i: plant the query embedding as doc tokens
+    for i, qe in enumerate(q_embs):
+        emb = np.concatenate([
+            np.repeat(qe, 20, axis=0),
+            0.05 * rng.standard_normal((44, qe.shape[1])).astype(np.float32),
+        ])
+        corpus_rows.append({"corpus-id": f"rel{i}", "embedding": emb})
+    for j in range(10):  # distractors
+        corpus_rows.append({
+            "corpus-id": f"noise{j}",
+            "embedding": rng.standard_normal((64, q_embs[0].shape[1])).astype(np.float32)})
+    ds = load_beir_from_rows(
+        "synth", corpus_rows,
+        [{"query-id": f"q{i}", "query": t} for i, t in enumerate(queries)],
+        [{"query-id": f"q{i}", "corpus-id": f"rel{i}", "score": 1} for i in range(3)],
+    )
+    return embedder, ds
+
+
+class TestHarness:
+    def test_index_evaluate_end_to_end(self, harness, tmp_path):
+        embedder, ds = harness
+        builder = IndexBuilder(make_schema_for_embedder(embedder, "float32"))
+        stats = index_beir_corpus(
+            ds, embedder, builder, "coll",
+            failure_log=tmp_path / "fail.jsonl")
+        assert stats["indexed"] == 13 and stats["failed"] == 0
+        # resume: everything skipped
+        stats2 = index_beir_corpus(ds, embedder, builder, "coll")
+        assert stats2["skipped"] == 13 and stats2["indexed"] == 0
+
+        engine = RetrievalEngine(builder.seal(), compute_dtype="float32")
+        report = evaluate(
+            ds, embedder, engine, "coll", mode="two_stage",
+            stage1_mode="tokens_vs_standard_pooling", prefetch_k=8, top_k=10,
+            query_batch_size=2)
+        assert report["num_queries"] == 3
+        # planted relevance -> perfect retrieval
+        assert report["metrics"]["ndcg@5"] == pytest.approx(1.0)
+        assert report["metrics"]["recall@10"] == pytest.approx(1.0)
+        assert report["qps"] > 0
+        assert report["avg_latency_ms"] > 0
+
+    def test_qrels_remap_and_prune(self, harness):
+        embedder, ds = harness
+        builder = IndexBuilder(make_schema_for_embedder(embedder, "float32"))
+        index_beir_corpus(ds, embedder, builder, "coll2",
+                          max_corpus_docs=2)  # only rel0, rel1 indexed
+        idx = builder.seal()
+        qrels = remap_and_prune_qrels(ds, "coll2", idx.manifest)
+        # q2's doc (rel2) missing -> pruned entirely
+        assert set(qrels) == {"q0", "q1"}
+        assert union_point_id("synth", "rel0", namespace="coll2") in qrels["q0"]
+
+    def test_failure_log_written(self, harness, tmp_path):
+        embedder, ds = harness
+        from benchmarks.dataset_loader import BeirDataset, CorpusDoc
+
+        bad = BeirDataset(
+            name="bad", corpus=[CorpusDoc(doc_id="x")],  # no image, no embedding
+            queries=[], qrels={})
+        builder = IndexBuilder(make_schema_for_embedder(embedder, "float32"))
+        log = tmp_path / "fails.jsonl"
+        stats = index_beir_corpus(bad, embedder, builder, "c", failure_log=log)
+        assert stats["failed"] == 1
+        from visual_rag_tpu.utils.io import read_jsonl
+
+        recs = read_jsonl(log)
+        assert recs[0]["source_doc_id"] == "x"
+
+    def test_per_dataset_scope_filters(self, harness):
+        embedder, ds = harness
+        builder = IndexBuilder(make_schema_for_embedder(embedder, "float32"))
+        index_beir_corpus(ds, embedder, builder, "c3")
+        # add an alien dataset doc that would pollute union scope
+        from benchmarks.dataset_loader import BeirDataset, CorpusDoc
+
+        rng = np.random.default_rng(5)
+        alien = BeirDataset(
+            "alien",
+            [CorpusDoc(doc_id="a0",
+                       embedding=rng.standard_normal((64, 128)).astype(np.float32))],
+            [], {})
+        index_beir_corpus(alien, embedder, builder, "c3")
+        engine = RetrievalEngine(builder.seal(), compute_dtype="float32")
+        report = evaluate(ds, embedder, engine, "c3", scope="per_dataset",
+                          prefetch_k=8, top_k=10, query_batch_size=4)
+        assert report["metrics"]["ndcg@5"] == pytest.approx(1.0)
+
+
+class TestQuickTest:
+    def test_runs_and_finds_planted_docs(self, capsys):
+        from benchmarks.quick_test import main
+
+        assert main(["--docs", "40", "--queries", "5", "--prefetch-k", "10",
+                     "--dim", "32"]) == 0
+        out = capsys.readouterr().out
+        assert "speedup" in out

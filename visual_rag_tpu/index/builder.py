@@ -110,6 +110,14 @@ class IndexBuilder:
     def check_exists(self, point_id: str) -> bool:
         return point_id in self.manifest
 
+    def get_existing_ids(self, filename: Optional[str] = None):
+        """IDs already indexed, optionally by source filename.
+
+        Reference: qdrant_indexer.get_existing_ids (:522-578) — here a host
+        manifest lookup instead of a Qdrant scroll.
+        """
+        return self.manifest.existing_ids(filename)
+
     def add(
         self,
         point_id: str,
