@@ -181,31 +181,62 @@ class IndexBuilder:
                 stores[name] = SingleVectors.build(mats, storage_dtype=dt, dim=spec.dim)
         return SealedIndex(stores=stores, manifest=self.manifest, storage_dtype=dt)
 
-    # -- persistence ---------------------------------------------------------
+    # -- persistence (VRAG1 single-file format via the native runtime) -------
 
     def save(self, directory: str | Path) -> None:
+        """Persist to <dir>/collection.vrag + schema.json (+ manifest.jsonl).
+
+        Vector payload goes through the native VRAG1 writer: raw sections with
+        crc32s, no compression CPU on the save path, zero-copy mmap reads.
+        """
+        from visual_rag_tpu import native
+
         directory = Path(directory)
         directory.mkdir(parents=True, exist_ok=True)
         with open(directory / "schema.json", "w", encoding="utf-8") as f:
             json.dump(self.schema.to_json(), f, indent=2)
         self.manifest.save(directory / "manifest.jsonl")
-        for name, mats in self._vectors.items():
-            arrays = {f"v{i}": m for i, m in enumerate(mats)}
-            np.savez_compressed(directory / f"vectors__{name}.npz", **arrays)
+        writer = native.VragWriter(directory / "collection.vrag")
+        try:
+            for name, mats in self._vectors.items():
+                spec = self.schema.vectors[name]
+                dim = spec.dim
+                if mats:
+                    data = np.concatenate(
+                        [np.asarray(m, np.float32).reshape(-1, dim) for m in mats], axis=0)
+                    lengths = np.asarray(
+                        [1 if spec.layout == "single" else m.reshape(-1, dim).shape[0]
+                         for m in mats], dtype=np.int64)
+                else:
+                    data = np.zeros((0, dim), dtype=np.float32)
+                    lengths = np.zeros((0,), dtype=np.int64)
+                writer.add(f"vec__{name}__data", data)
+                writer.add(f"vec__{name}__lengths", lengths)
+        finally:
+            writer.close()
 
     @classmethod
     def load(cls, directory: str | Path) -> "IndexBuilder":
+        from visual_rag_tpu import native
+
         directory = Path(directory)
         with open(directory / "schema.json", "r", encoding="utf-8") as f:
             schema = CollectionSchema.from_json(json.load(f))
         builder = cls(schema)
         builder.manifest = Manifest.load(directory / "manifest.jsonl")
-        for name in schema.vectors:
-            npz = np.load(directory / f"vectors__{name}.npz")
-            builder._vectors[name] = [npz[f"v{i}"] for i in range(len(npz.files))]
-            n_pts, n_vecs = len(builder.manifest), len(builder._vectors[name])
-            if n_vecs != n_pts:
+        sections = native.read_store(directory / "collection.vrag")
+        for name, spec in schema.vectors.items():
+            data = np.asarray(sections[f"vec__{name}__data"])
+            lengths = np.asarray(sections[f"vec__{name}__lengths"])
+            mats: List[np.ndarray] = []
+            pos = 0
+            for ln in lengths:
+                block = data[pos : pos + int(ln)]
+                mats.append(block[0] if spec.layout == "single" else block)
+                pos += int(ln)
+            builder._vectors[name] = mats
+            if len(mats) != len(builder.manifest):
                 raise ValueError(
-                    f"Corrupt index dir: {name} has {n_vecs} arrays for {n_pts} points"
-                )
+                    f"Corrupt collection: {name} has {len(mats)} arrays for "
+                    f"{len(builder.manifest)} points")
         return builder

@@ -38,11 +38,10 @@ def _normalize_rows(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
 
 
 def quantize_rows_int8(x: np.ndarray):
-    """Per-row symmetric int8 quantization: scale = max|row| / 127."""
-    absmax = np.abs(x).max(axis=-1)
-    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-    q = np.clip(np.rint(x / scales[..., None]), -127, 127).astype(np.int8)
-    return q, scales
+    """Per-row symmetric int8 quantization: scale = max|row| / 127 (native)."""
+    from visual_rag_tpu import native
+
+    return native.quantize_int8(np.asarray(x, dtype=np.float32))
 
 
 def _pack_storage(x: np.ndarray, storage_dtype: str):
@@ -152,28 +151,24 @@ class RaggedMultiVectors:
 
     @classmethod
     def build(cls, mats, storage_dtype: str = "bfloat16", dim: Optional[int] = None):
+        from visual_rag_tpu import native
+
         mats = [np.asarray(m, dtype=np.float32) for m in mats]
         dim = mats[0].shape[1] if mats else (dim or DEFAULT_DIM)
-        align = 32  # row alignment: covers (8,128) f32, (16,128) bf16, (32,128) int8
         lengths = np.array([m.shape[0] for m in mats], dtype=np.int32)
-        # Each doc's block starts tile-aligned so Pallas DMA windows are legal
-        # (Mosaic requires provably aligned DMA start rows); gaps are zeros.
-        aligned = ((lengths + align - 1) // align) * align
-        offsets = np.zeros_like(lengths)
-        if len(mats):
-            offsets[1:] = np.cumsum(aligned)[:-1]
-        total = int(aligned.sum())
         max_len = int(lengths.max()) if len(mats) else 1
-        # Tail padding of max_len rows lets fixed-width [offset, offset+max_len)
-        # DMA windows never run out of bounds.
-        flat = np.zeros((max(total, 1) + max_len, dim), dtype=np.float32)
-        for m, off in zip(mats, offsets):
-            if m.shape[0]:
-                flat[off : off + m.shape[0]] = _normalize_rows(m)
+        src = (np.concatenate(mats, axis=0) if mats
+               else np.zeros((0, dim), dtype=np.float32))
+        # Each doc's block starts 32-row-aligned so Pallas DMA windows are
+        # provably tile-aligned (f32/bf16/int8 tilings); tail padding of
+        # max_len rows keeps fixed-width windows in bounds. The normalize +
+        # scatter runs in the native OpenMP runtime when available.
+        flat, offsets = native.pack_aligned(
+            src, lengths, align=32, tail_pad_rows=max_len, normalize=True)
         values, scales = _pack_storage(flat, storage_dtype)
         return cls(
             flat=jnp.asarray(values),
-            offsets=jnp.asarray(offsets),
+            offsets=jnp.asarray(offsets.astype(np.int32)),
             lengths=jnp.asarray(lengths),
             max_len=max_len,
             scales=None if scales is None else jnp.asarray(scales),
