@@ -19,12 +19,20 @@ import numpy as np
 
 
 class Manifest:
-    """Ordered point registry: position in the device arrays == doc index."""
+    """Ordered point registry: position in the device arrays == doc index.
+
+    Payload *indexes* (reference create_payload_indexes,
+    qdrant_indexer.py:264-339) become interned int32 columns here: each
+    indexed field gets a code column + value vocabulary, so filters evaluate
+    through the native columnar kernels instead of per-doc python dict lookups.
+    """
 
     def __init__(self) -> None:
         self.ids: List[str] = []
         self.payloads: List[Dict[str, Any]] = []
         self._id_to_idx: Dict[str, int] = {}
+        self._columns: Dict[str, np.ndarray] = {}  # field -> int32 codes
+        self._vocabs: Dict[str, Dict[Any, int]] = {}  # field -> value -> code
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -39,7 +47,38 @@ class Manifest:
         self.ids.append(point_id)
         self.payloads.append(dict(payload or {}))
         self._id_to_idx[point_id] = idx
+        self._columns.clear()  # indexes are rebuilt lazily after appends
         return idx
+
+    # -- payload indexes -----------------------------------------------------
+
+    MISSING_CODE = -1
+
+    def create_payload_index(self, field: str) -> None:
+        """Intern one payload field into an int32 code column."""
+        vocab: Dict[Any, int] = {}
+        codes = np.empty((len(self.ids),), dtype=np.int32)
+        for i, pl in enumerate(self.payloads):
+            v = pl.get(field)
+            if v is None:
+                codes[i] = self.MISSING_CODE
+                continue
+            code = vocab.get(v)
+            if code is None:
+                code = len(vocab)
+                vocab[v] = code
+            codes[i] = code
+        self._columns[field] = codes
+        self._vocabs[field] = vocab
+
+    def payload_index(self, field: str):
+        """(codes, vocab) for an indexed field, building it on first use."""
+        if field not in self._columns:
+            self.create_payload_index(field)
+        return self._columns[field], self._vocabs[field]
+
+    def indexed_fields(self) -> List[str]:
+        return sorted(self._columns.keys())
 
     def index_of(self, point_id: str) -> Optional[int]:
         return self._id_to_idx.get(point_id)

@@ -31,24 +31,32 @@ class PayloadFilter:
         return not self.must and self.ids is None
 
     def evaluate(self, manifest) -> np.ndarray:
-        """Boolean mask [num_docs] over the manifest."""
+        """Boolean mask [num_docs] over the manifest.
+
+        Uses the manifest's interned payload-index columns + the native
+        columnar kernels (visual_rag_tpu.native) — one vectorized pass per
+        condition instead of a python dict lookup per doc.
+        """
+        from visual_rag_tpu import native
+
         n = len(manifest)
-        mask = np.ones((n,), dtype=bool)
+        mask = np.ones((n,), dtype=np.uint8)
         for field, value in self.must:
-            col = np.array(
-                [_match(manifest.payloads[i].get(field), value) for i in range(n)],
-                dtype=bool,
-            )
-            mask &= col
+            codes, vocab = manifest.payload_index(field)
+            if isinstance(value, (list, tuple, set, frozenset)):
+                wanted = [vocab[v] for v in value if v in vocab]
+                if not wanted:
+                    return np.zeros((n,), dtype=bool)
+                mask = native.filter_in(codes, wanted, mask)
+            else:
+                code = vocab.get(value)
+                if code is None:
+                    return np.zeros((n,), dtype=bool)
+                mask = native.filter_eq(codes, code, mask)
+        out = mask.astype(bool)
         if self.ids is not None:
-            mask &= manifest.id_mask(self.ids)
-        return mask
-
-
-def _match(payload_value: Any, cond: Union[Scalar, Sequence[Scalar]]) -> bool:
-    if isinstance(cond, (list, tuple, set, frozenset)):
-        return payload_value in cond
-    return payload_value == cond
+            out &= manifest.id_mask(self.ids)
+        return out
 
 
 def build_filter(
