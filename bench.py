@@ -50,7 +50,7 @@ def main():
         rng.standard_normal((int(rng.integers(8, 25)), dim)).astype(np.float32)
         for _ in range(256)
     ]
-    bs = 32
+    bs = 64  # larger batches amortize per-dispatch tunnel RTT
     # warm (compile)
     engine.search_embedded_batch(queries[:bs], mode="two_stage", top_k=10, prefetch_k=200)
     t0 = time.time()

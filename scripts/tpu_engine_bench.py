@@ -50,7 +50,7 @@ for mode, kw in [
     ("single_full", {}),
     ("single_tiles", {}),
 ]:
-    for bs in (32,):
+    for bs in (64,):
         # warm
         engine.search_embedded_batch(queries[:bs], mode=mode, top_k=10, **kw)
         t0 = time.time()

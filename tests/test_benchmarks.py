@@ -162,6 +162,49 @@ class TestHarness:
         assert report["metrics"]["ndcg@5"] == pytest.approx(1.0)
 
 
+class TestSweepAndAnalysis:
+    def test_sweep_eval(self, harness, tmp_path):
+        from benchmarks.sweep_eval import sweep
+
+        embedder, ds = harness
+        builder = IndexBuilder(make_schema_for_embedder(embedder, "float32"))
+        index_beir_corpus(ds, embedder, builder, "sweepc")
+        engine = RetrievalEngine(builder.seal(), compute_dtype="float32")
+        rows = sweep(engine, embedder, ds, "sweepc",
+                     stage1_mode="tokens_vs_standard_pooling",
+                     prefetch_ks=[4, 8], top_k=5, out_dir=tmp_path)
+        assert rows[0]["config"] == "single_full"
+        assert {r["config"] for r in rows} == {
+            "single_full", "two_stage_pf4", "two_stage_pf8"}
+        for r in rows:
+            assert r["ndcg@5"] == pytest.approx(1.0)  # planted relevance
+        assert (tmp_path / "sweep__synth__tokens_vs_standard_pooling__pf4.json").exists()
+
+    def test_analyze_and_submission(self, tmp_path, capsys):
+        import json
+
+        from benchmarks.analyze_results import main as analyze_main
+        from benchmarks.prepare_submission import main as submit_main
+
+        (tmp_path / "r1.json").write_text(json.dumps({
+            "dataset": "ds1", "mode": "single_full",
+            "metrics": {"ndcg@5": 0.9, "recall@10": 1.0},
+            "avg_latency_ms": 10.0, "qps": 100.0}))
+        (tmp_path / "r2.json").write_text(json.dumps({
+            "dataset": "ds1", "mode": "two_stage", "stage1_mode": "x",
+            "prefetch_k": 20, "metrics": {"ndcg@5": 0.88, "recall@10": 0.97},
+            "avg_latency_ms": 2.0, "qps": 480.0}))
+        assert analyze_main(["--results-dir", str(tmp_path)]) == 0
+        out = capsys.readouterr().out
+        assert "speedup=5.00x" in out and "retention=0.978" in out
+        sub_path = tmp_path / "sub.json"
+        assert submit_main(["--results-dir", str(tmp_path), "--model", "m",
+                            "--output", str(sub_path)]) == 0
+        sub = json.loads(sub_path.read_text())
+        assert sub["datasets"]["ds1"]["ndcg_at_5"] in (0.9, 0.88)
+        assert "mean" in sub
+
+
 class TestQuickTest:
     def test_runs_and_finds_planted_docs(self, capsys):
         from benchmarks.quick_test import main

@@ -56,6 +56,7 @@ _LAZY_ATTRS = {
     "RetrievalEngine": "visual_rag_tpu.retrieval.engine",
     "ProcessingPipeline": "visual_rag_tpu.pipeline.pipeline",
     "load_config": "visual_rag_tpu.config",
+    "demo": "visual_rag_tpu.demo_runner",
 }
 
 

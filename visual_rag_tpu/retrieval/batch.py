@@ -55,7 +55,8 @@ def pad_queries(queries: Sequence[np.ndarray], dim: int, eps: float = 1e-8):
         mask[i, :t] = True
         mean = q.mean(axis=0)
         pooled[i] = mean / (np.linalg.norm(mean) + eps)
-    return jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(pooled)
+    # one batched host->device transfer instead of three
+    return jax.device_put((tokens, mask, pooled))
 
 
 # ---------------------------------------------------------------------------

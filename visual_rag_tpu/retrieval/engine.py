@@ -103,6 +103,9 @@ class RetrievalEngine:
         self.compute_dtype = compute_dtype
         self.rerank_chunk = int(rerank_chunk)
         self._batch_scorer = None
+        from visual_rag_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
 
     @property
     def batch_scorer(self):
@@ -275,6 +278,7 @@ class RetrievalEngine:
         are identical to per-query :meth:`search_embedded`.
         """
         from visual_rag_tpu.retrieval import batch as B
+        from visual_rag_tpu.retrieval import plans
 
         if mode not in SEARCH_MODES:
             raise ValueError(f"Unknown mode: {mode}. Choose one of {SEARCH_MODES}")
@@ -282,79 +286,81 @@ class RetrievalEngine:
             return [[] for _ in range(len(query_embeddings))]
         dim = next(iter(self.index.stores.values())).dim
         tokens, qmask, pooled = B.pad_queries(query_embeddings, dim)
-        doc_mask = self._doc_mask(filter_obj)
-        sc = self.batch_scorer
+        qmask_f = jnp.asarray(qmask, jnp.float32)
         d = self.index.num_docs
-
-        def s1_scores(m):
-            m = _STAGE1_ALIASES.get(m, m)
-            if m == "pooled_query_vs_standard_pooling":
-                return sc.score_pooled(self.pooled_vector_name, pooled)
-            if m == "tokens_vs_standard_pooling":
-                return sc.score_tokens(self.pooled_vector_name, tokens, qmask)
-            if m == "pooled_query_vs_experimental_pooling":
-                return sc.score_pooled(self.experimental_vector_name, pooled)
-            if m == "tokens_vs_experimental_pooling":
-                return sc.score_tokens(self.experimental_vector_name, tokens, qmask)
-            if m == "pooled_query_vs_global":
-                return sc.score_pooled(self.global_vector_name, pooled)
-            raise ValueError(f"Unknown stage1_mode: {m}")
+        doc_mask = self._doc_mask(filter_obj)
+        # None skips the mask branch entirely (and its host->device transfer)
+        doc_mask_f = None if doc_mask is None else jnp.asarray(doc_mask, jnp.float32)
+        use_pallas = self.batch_scorer.use_pallas
+        ragged = self._fused_arrays(self.full_vector_name)
+        max_len = self.index.store(self.full_vector_name).max_len
+        common = dict(ds=d, max_len=max_len, use_pallas=use_pallas)
 
         if mode.startswith("single_"):
-            name_map = {
-                "single_full": (self.full_vector_name, "tokens"),
-                "single_tiles": (self.pooled_vector_name, "tokens"),
-                "single_pooled": (self.pooled_vector_name, "pooled"),
-                "single_global": (self.global_vector_name, "pooled"),
-                "single_experimental_tokens": (self.experimental_vector_name, "tokens"),
-                "single_experimental_pooled": (self.experimental_vector_name, "pooled"),
-            }
-            name, kind = name_map[mode]
-            scores = (
-                sc.score_tokens(name, tokens, qmask)
-                if kind == "tokens"
-                else sc.score_pooled(name, pooled)
-            )
-            k = max(1, min(int(top_k), d))
-            vals, idx = B.topk_batch(scores, k, doc_mask)
+            kind, name = {
+                "single_full": ("tokens_ragged", self.full_vector_name),
+                "single_tiles": ("tokens_padded", self.pooled_vector_name),
+                "single_pooled": ("pooled_padded", self.pooled_vector_name),
+                "single_global": ("pooled_single", self.global_vector_name),
+                "single_experimental_tokens": ("tokens_padded", self.experimental_vector_name),
+                "single_experimental_pooled": ("pooled_padded", self.experimental_vector_name),
+            }[mode]
+            vals, idx = plans.single_plan(
+                self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
+                pooled, kind=kind, k=max(1, min(int(top_k), d)), **common)
             return self._batch_results(idx, with_payload, score=vals)
 
         if mode == "two_stage":
             if prefetch_k is None:
                 prefetch_k = max(100, top_k * 10)
-            s1 = s1_scores(stage1_mode)
-            _, cand = B.topk_batch(s1, max(1, min(int(prefetch_k), d)), doc_mask)
-            rr = sc.rerank(self.full_vector_name, tokens, qmask, cand)
-            k = max(1, min(int(top_k), int(cand.shape[1])))
-            vals, pos = jax.lax.top_k(rr, k)
-            idx = jnp.where(vals > NEG_INF / 2, jnp.take_along_axis(cand, pos, axis=1), -1)
+            kind, name = self._fused_stage1(stage1_mode)
+            pk = max(1, min(int(prefetch_k), d))
+            vals, idx = plans.two_stage_plan(
+                self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
+                pooled, kind=kind, pk=pk, k=max(1, min(int(top_k), pk)), **common)
             return self._batch_results(
                 idx, with_payload, score_stage2=vals, score_final=vals)
 
-        # three_stage
         s1k = max(1, min(int(stage1_k or 1000), d))
         s2k = max(1, min(int(stage2_k or 300), d))
-        s1 = sc.score_pooled(self.global_vector_name, pooled)
-        _, c1 = B.topk_batch(s1, s1k, doc_mask)
-        m1 = jnp.zeros((tokens.shape[0], d), dtype=bool)
-        m1 = jax.vmap(lambda m, c: m.at[jnp.maximum(c, 0)].set(c >= 0))(m1, c1)
-        s2 = sc.score_tokens(self.experimental_vector_name, tokens, qmask)
-        s2 = jnp.where(m1, s2, NEG_INF)
-        vals2, c2 = jax.lax.top_k(s2, s2k)
-        c2 = jnp.where(vals2 > NEG_INF / 2, c2, -1).astype(jnp.int32)
-        rr = sc.rerank(self.full_vector_name, tokens, qmask, c2)
-        k = max(1, min(int(top_k), int(c2.shape[1])))
-        vals, pos = jax.lax.top_k(rr, k)
-        idx = jnp.where(vals > NEG_INF / 2, jnp.take_along_axis(c2, pos, axis=1), -1)
-        fi = jnp.maximum(idx, 0)
+        vals, idx, s1_at, s2_at = plans.three_stage_plan(
+            self._fused_arrays(self.global_vector_name),
+            self._fused_arrays(self.experimental_vector_name),
+            ragged, doc_mask_f, tokens, qmask_f, pooled,
+            s1k=s1k, s2k=s2k, k=max(1, min(int(top_k), s2k)), **common)
         return self._batch_results(
             idx, with_payload,
             score_stage3=vals, score_final=vals,
-            score_stage1=jnp.take_along_axis(s1, fi, axis=1),
-            score_stage2=jnp.take_along_axis(s2, fi, axis=1),
+            score_stage1=s1_at, score_stage2=s2_at,
         )
 
+    def _fused_arrays(self, name: str):
+        """Store arrays in the layout the fused plans / shard bodies expect."""
+        store = self.index.store(name)
+        arr, _ = self.batch_scorer._kernel_arrays(name)
+        if isinstance(store, PaddedMultiVectors):
+            vals_t, mask_t = arr
+            return {"vals_t": vals_t, "mask_t": mask_t}
+        if isinstance(store, SingleVectors):
+            return {"vals": arr}
+        return {"flat": arr, "offsets": store.offsets, "lengths": store.lengths}
+
+    def _fused_stage1(self, stage1_mode: str):
+        m = _STAGE1_ALIASES.get(stage1_mode, stage1_mode)
+        table = {
+            "pooled_query_vs_standard_pooling": ("pooled_padded", self.pooled_vector_name),
+            "tokens_vs_standard_pooling": ("tokens_padded", self.pooled_vector_name),
+            "pooled_query_vs_experimental_pooling": ("pooled_padded", self.experimental_vector_name),
+            "tokens_vs_experimental_pooling": ("tokens_padded", self.experimental_vector_name),
+            "pooled_query_vs_global": ("pooled_single", self.global_vector_name),
+        }
+        if m not in table:
+            raise ValueError(f"Unknown stage1_mode: {stage1_mode}")
+        return table[m]
+
     def _batch_results(self, idx, with_payload, **score_cols):
+        # np.asarray per array: jax.device_get pays a pathological first-call
+        # setup cost on tunneled TPU backends
         idx = np.asarray(idx)
         cols = {k: np.asarray(v) for k, v in score_cols.items()}
         out = []
