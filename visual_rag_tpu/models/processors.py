@@ -27,6 +27,10 @@ import numpy as np
 PATCHES_PER_TILE = 64  # ColSmol contract (reference pooling.py:35-98)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 # ---------------------------------------------------------------------------
 # Text tokenization
 # ---------------------------------------------------------------------------
@@ -206,12 +210,19 @@ class ImageProcessor:
                 per_image.append(self._image_tokens_colqwen(arr))
             else:
                 per_image.append(self._image_tokens_colpali(arr))
-        n_patches = max(p.shape[0] for p, _ in per_image)
+        # Bucket the padded batch shapes to multiples of 128/64 so the jitted
+        # model forward compiles once per bucket, not once per page geometry
+        # (per-shape recompiles dominated ingest time on TPU otherwise).
+        # The bucket is capped at the vision tower's patch capacity.
+        n_act = max(p.shape[0] for p, _ in per_image)
+        merge2 = 4 if self.backend in ("colqwen2.5", "colqwen2") else 1
+        patch_capacity = self.max_visual_tokens * merge2
+        n_patches = max(n_act, min(_round_up(n_act, 128), patch_capacity))
         prompt_ids = self.tokenizer.encode(prompt)
         b = len(images)
         # image tokens after merge (colqwen merges 4 patches -> 1 token)
         n_img_tokens = [info["num_visual_tokens"] for _, info in per_image]
-        seq = max(n_img_tokens) + len(prompt_ids)
+        seq = _round_up(max(n_img_tokens) + len(prompt_ids), 64)
         patches = np.zeros((b, n_patches, self.patch_pixels), dtype=np.float32)
         patch_mask = np.zeros((b, n_patches), dtype=bool)
         input_ids = np.zeros((b, seq), dtype=np.int32)
