@@ -79,6 +79,46 @@ class TestRerankKernel:
                     compute_dtype="float32"))
             np.testing.assert_allclose(got[b], expected, rtol=1e-4, atol=1e-4)
 
+    def test_int8_native_kernels_match_f32(self, rng):
+        # int8 codes + scales through BOTH kernels vs the f32 store
+        schema = CollectionSchema.standard(storage_dtype="int8", dim=DIM)
+        b8 = IndexBuilder(schema)
+        bf = IndexBuilder(CollectionSchema.standard(storage_dtype="float32", dim=DIM))
+        for i in range(9):
+            vecs = {
+                "initial": rng.standard_normal((int(rng.integers(4, 30)), DIM)).astype(np.float32),
+                "mean_pooling": rng.standard_normal((4, DIM)).astype(np.float32),
+                "experimental_pooling": rng.standard_normal((5, DIM)).astype(np.float32),
+                "global_pooling": rng.standard_normal((DIM,)).astype(np.float32),
+            }
+            b8.add(f"d{i}", vecs)
+            bf.add(f"d{i}", vecs)
+        i8, f32 = b8.seal(), bf.seal()
+        queries = _norm(rng.standard_normal((2, 8, DIM)).astype(np.float32))
+        qmask = np.ones((2, 8), dtype=bool)
+        # prefetch kernel with per-row scales
+        s8 = i8.store("mean_pooling")
+        sf = f32.store("mean_pooling")
+        got8 = np.asarray(pooled_maxsim_scores(
+            np.transpose(np.asarray(s8.values), (1, 0, 2)),
+            np.asarray(s8.mask).T, queries, qmask,
+            np.asarray(s8.scales).T, block_d=8, interpret=True))
+        ref = np.asarray(pooled_maxsim_scores(
+            np.transpose(np.asarray(sf.values), (1, 0, 2)),
+            np.asarray(sf.mask).T, queries, qmask, block_d=8, interpret=True))
+        np.testing.assert_allclose(got8, ref, rtol=0.02, atol=0.02)
+        # rerank kernel with per-doc scales
+        r8, rf = i8.store("initial"), f32.store("initial")
+        cand = np.array([[0, 3, 6, -1], [1, 4, 7, 8]], dtype=np.int32)
+        got = np.asarray(rerank_candidates(
+            r8.flat, r8.offsets, r8.lengths, queries, qmask, cand,
+            r8.max_len, doc_scales=r8.scales, group=4, interpret=True))
+        exp = np.asarray(rerank_candidates(
+            rf.flat, rf.offsets, rf.lengths, queries, qmask, cand,
+            rf.max_len, group=4, interpret=True))
+        valid = cand >= 0
+        np.testing.assert_allclose(got[valid], exp[valid], rtol=0.02, atol=0.05)
+
     def test_all_invalid_row(self, small_index, rng):
         store = small_index.store("initial")
         queries = _norm(rng.standard_normal((1, 8, DIM)).astype(np.float32))

@@ -97,27 +97,22 @@ def convert_storage_dtype(index: SealedIndex, storage_dtype: str) -> SealedIndex
     """
     stores: Dict[str, object] = {}
     for name, store in index.stores.items():
-        if isinstance(store, (PaddedMultiVectors, SingleVectors)):
-            vals = np.asarray(store.dequantized(jnp.float32))
-        else:
-            vals = np.asarray(store.flat, dtype=np.float32)
-            if store.scales is not None:
-                vals = vals * np.asarray(store.scales)[:, None]
+        if isinstance(store, RaggedMultiVectors):
+            # rebuild from per-doc matrices: int8 ragged stores carry PER-DOC
+            # scales, which the generic per-row requantization cannot produce
+            stores[name] = RaggedMultiVectors.build(
+                store.doc_matrices(), storage_dtype=storage_dtype,
+                dim=store.dim)
+            continue
+        vals = np.asarray(store.dequantized(jnp.float32))
         if storage_dtype == "int8":
             q, s = quantize_rows_int8(vals)
             new_vals, new_scales = jnp.asarray(q), jnp.asarray(s)
         else:
             new_vals = jnp.asarray(vals.astype(jnp.dtype(storage_dtype)))
             new_scales = None
-        if isinstance(store, RaggedMultiVectors):
-            stores[name] = dataclasses.replace(
-                store, flat=new_vals, scales=new_scales)
-        elif isinstance(store, PaddedMultiVectors):
-            stores[name] = dataclasses.replace(
-                store, values=new_vals, scales=new_scales)
-        else:
-            stores[name] = dataclasses.replace(
-                store, values=new_vals, scales=new_scales)
+        stores[name] = dataclasses.replace(
+            store, values=new_vals, scales=new_scales)
     return dataclasses.replace(index, stores=stores, storage_dtype=storage_dtype)
 
 

@@ -121,7 +121,7 @@ class RaggedMultiVectors:
     offsets: jnp.ndarray  # [D] int32
     lengths: jnp.ndarray  # [D] int32
     max_len: int  # max tokens per doc (static gather width)
-    scales: Optional[jnp.ndarray] = None  # [total_tokens] f32 for int8
+    scales: Optional[jnp.ndarray] = None  # [D] f32 PER-DOC scales for int8
     kind: str = "multi_ragged"
 
     @property
@@ -149,6 +149,24 @@ class RaggedMultiVectors:
             n += self.scales.size * 4
         return n
 
+    def dequantized_flat(self) -> np.ndarray:
+        """f32 flat token matrix with per-doc int8 scales applied."""
+        flat = np.asarray(self.flat, dtype=np.float32)
+        if self.scales is not None:
+            offs = np.asarray(self.offsets)
+            lens = np.asarray(self.lengths)
+            s = np.asarray(self.scales)
+            for i in range(len(offs)):
+                flat[offs[i] : offs[i] + lens[i]] *= s[i]
+        return flat
+
+    def doc_matrices(self):
+        """Host list of per-doc [n_i, dim] f32 matrices (dequantized)."""
+        flat = self.dequantized_flat()
+        offs = np.asarray(self.offsets)
+        lens = np.asarray(self.lengths)
+        return [flat[offs[i] : offs[i] + lens[i]].copy() for i in range(len(offs))]
+
     @classmethod
     def build(cls, mats, storage_dtype: str = "bfloat16", dim: Optional[int] = None):
         from visual_rag_tpu import native
@@ -165,7 +183,22 @@ class RaggedMultiVectors:
         # scatter runs in the native OpenMP runtime when available.
         flat, offsets = native.pack_aligned(
             src, lengths, align=32, tail_pad_rows=max_len, normalize=True)
-        values, scales = _pack_storage(flat, storage_dtype)
+        if storage_dtype == "int8":
+            # PER-DOC scales (not per-row): a doc-constant scale commutes with
+            # the row-max and query-sum, so kernels apply it once per
+            # candidate score instead of per token row.
+            scales_d = np.ones((len(mats),), dtype=np.float32)
+            q8 = np.zeros(flat.shape, dtype=np.int8)
+            for i in range(len(mats)):
+                off, ln = int(offsets[i]), int(lengths[i])
+                block = flat[off : off + ln]
+                absmax = float(np.abs(block).max()) if ln else 0.0
+                scales_d[i] = absmax / 127.0 if absmax > 0 else 1.0
+                q8[off : off + ln] = np.clip(
+                    np.rint(block / scales_d[i]), -127, 127).astype(np.int8)
+            values, scales = q8, scales_d
+        else:
+            values, scales = _pack_storage(flat, storage_dtype)
         return cls(
             flat=jnp.asarray(values),
             offsets=jnp.asarray(offsets.astype(np.int32)),

@@ -33,7 +33,8 @@ NEG_INF = -1e30  # python float: jnp scalars would be captured consts in pallas 
 
 
 def _make_kernel(max_len: int, group: int):
-    def kernel(off_ref, len_ref, q_ref, qmask_ref, flat_hbm, out_ref, scratch, sems):
+    def kernel(off_ref, len_ref, scale_ref, q_ref, qmask_ref, flat_hbm, out_ref,
+               scratch, sems):
         blk = pl.program_id(0)
         base = blk * group
 
@@ -60,7 +61,7 @@ def _make_kernel(max_len: int, group: int):
             ln = len_ref[base + g]
             docs = scratch[slot]  # [MAX_LEN, dim]
             sims = jax.lax.dot_general(
-                q, docs,
+                q, docs.astype(q.dtype),  # int8 codes upcast in VMEM only
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [NQ, MAX_LEN]
@@ -75,20 +76,22 @@ def _make_kernel(max_len: int, group: int):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            out_ref[0, 0, g] = score[0, 0]
+            # per-doc int8 dequant scale (1.0 for float stores)
+            out_ref[0, 0, g] = score[0, 0] * scale_ref[base + g]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("max_len", "group", "interpret"))
 def rerank_candidates(
-    flat: jnp.ndarray,  # [N + pad, dim] ragged store (compute-ready dtype)
+    flat: jnp.ndarray,  # [N + pad, dim] ragged store (bf16/f32, or int8 codes)
     offsets: jnp.ndarray,  # [D] int32
     lengths: jnp.ndarray,  # [D] int32
     queries: jnp.ndarray,  # [B, NQ, dim]
     qmask: jnp.ndarray,  # [B, NQ] bool/float
     candidates: jnp.ndarray,  # [B, K] int32 doc ids, -1 = padding
     max_len: int,
+    doc_scales: jnp.ndarray | None = None,  # [D] per-doc int8 scales
     group: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -104,10 +107,14 @@ def rerank_candidates(
     safe = jnp.maximum(cand, 0)
     cand_off = jnp.where(valid, offsets[safe], 0).astype(jnp.int32)
     cand_len = jnp.where(valid, lengths[safe], 0).astype(jnp.int32)
+    if doc_scales is None:
+        cand_scale = jnp.ones_like(cand, dtype=jnp.float32)
+    else:
+        cand_scale = jnp.where(valid, doc_scales[safe], 1.0).astype(jnp.float32)
 
     n_blocks = (b * k_pad) // group
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # offsets, lengths
+        num_scalar_prefetch=3,  # offsets, lengths, scales
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(
@@ -138,7 +145,8 @@ def rerank_candidates(
     )(
         cand_off,
         cand_len,
-        queries.astype(flat.dtype),
+        cand_scale,
+        queries.astype(jnp.bfloat16 if flat.dtype == jnp.int8 else flat.dtype),
         jnp.asarray(qmask, jnp.float32)[:, None, :],
         flat,
     )

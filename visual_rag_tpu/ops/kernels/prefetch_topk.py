@@ -33,9 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30  # python float: jnp scalars would be captured consts in pallas kernels
 
 
-def _kernel(vals_ref, mask_ref, q_ref, qmask_ref, out_ref):
-    # vals:  [P, BD, dim]   one doc block, pooled-row-leading
+def _kernel(vals_ref, mask_ref, scales_ref, q_ref, qmask_ref, out_ref):
+    # vals:  [P, BD, dim]   one doc block, pooled-row-leading (f32/bf16/int8)
     # mask:  [P, BD]        row validity as f32 (bool VMEM blocks are fragile)
+    # scales:[P, BD]        per-row dequant scales (ones for float stores)
     # q:     [1, NQ, dim]   one query's padded tokens
     # qmask: [1, 1, NQ]     f32 (leading block dims keep Mosaic tiling legal)
     # out:   [1, 1, BD]     scores for this (query, doc block)
@@ -44,11 +45,13 @@ def _kernel(vals_ref, mask_ref, q_ref, qmask_ref, out_ref):
     q = q_ref[0]  # [NQ, dim]
 
     def body(row, running):
+        # int8 codes upcast in VMEM only — HBM traffic stays 1 byte/elem
         sims = jax.lax.dot_general(
-            q, vals_ref[row],
+            q, vals_ref[row].astype(q.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [NQ, BD]
+        sims = sims * scales_ref[row][None, :]
         valid = mask_ref[row] > 0  # [BD]
         sims = jnp.where(valid[None, :], sims, NEG_INF)
         return jnp.maximum(running, sims)
@@ -70,10 +73,11 @@ def _kernel(vals_ref, mask_ref, q_ref, qmask_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("block_d", "interpret"))
 def pooled_maxsim_scores(
-    values_t: jnp.ndarray,  # [P, D, dim] P-leading, compute-ready dtype (bf16/f32)
+    values_t: jnp.ndarray,  # [P, D, dim] P-leading (f32/bf16, or int8 codes)
     mask_t: jnp.ndarray,  # [P, D] bool/f32
     queries: jnp.ndarray,  # [B, NQ, dim]
     qmask: jnp.ndarray,  # [B, NQ] bool
+    scales_t: jnp.ndarray | None = None,  # [P, D] per-row int8 scales
     block_d: int = 128,  # out-block lane width; must be a multiple of 128
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -82,17 +86,23 @@ def pooled_maxsim_scores(
     b, nq, _ = queries.shape
     mask_t = jnp.asarray(mask_t, jnp.float32)
     qmask = jnp.asarray(qmask, jnp.float32)
+    if scales_t is None:
+        scales_t = jnp.ones((p, d), jnp.float32)
+    scales_t = jnp.asarray(scales_t, jnp.float32)
     n_blocks = int(pl.cdiv(d, block_d))
     d_pad = n_blocks * block_d
     if d_pad != d:
         values_t = jnp.pad(values_t, ((0, 0), (0, d_pad - d), (0, 0)))
         mask_t = jnp.pad(mask_t, ((0, 0), (0, d_pad - d)))
+        scales_t = jnp.pad(scales_t, ((0, 0), (0, d_pad - d)))
+    q_dtype = jnp.bfloat16 if values_t.dtype == jnp.int8 else values_t.dtype
     grid = (n_blocks, b)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((p, block_d, dim), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, block_d), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((p, block_d), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nq, dim), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nq), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
@@ -102,5 +112,5 @@ def pooled_maxsim_scores(
         ),
         out_shape=jax.ShapeDtypeStruct((b, 1, d_pad), jnp.float32),
         interpret=interpret,
-    )(values_t, mask_t, queries.astype(values_t.dtype), qmask[:, None, :])
+    )(values_t, mask_t, scales_t, queries.astype(q_dtype), qmask[:, None, :])
     return out[:, 0, :d]

@@ -117,9 +117,7 @@ class ShardedIndex:
                 }
                 kinds[name] = "single"
             elif isinstance(store, RaggedMultiVectors):
-                flat = np.asarray(store.flat, dtype=np.float32)
-                if store.scales is not None:
-                    flat = flat * np.asarray(store.scales)[:, None]
+                flat = store.dequantized_flat()  # per-doc int8 scales applied
                 offsets = np.asarray(store.offsets)
                 lengths = np.asarray(store.lengths)
                 max_len = max(max_len, store.max_len)
@@ -179,13 +177,21 @@ class ShardedIndex:
 # ---------------------------------------------------------------------------
 
 
+def _compute_dtype_for(arr):
+    return jnp.bfloat16 if arr.dtype == jnp.int8 else arr.dtype
+
+
 def _local_tokens_padded(s1, tokens, qmask, use_pallas):
     vals_t, mask_t = s1["vals_t"], s1["mask_t"]
+    scales_t = s1.get("scales_t")  # per-row int8 scales (None for float stores)
     if use_pallas:
-        return pooled_maxsim_scores(vals_t, mask_t, tokens, qmask)
+        return pooled_maxsim_scores(vals_t, mask_t, tokens, qmask, scales_t)
     # XLA fallback straight off the P-leading layout
-    sims = jnp.einsum("bqd,pnd->bqpn", tokens.astype(vals_t.dtype), vals_t,
+    cd = _compute_dtype_for(vals_t)
+    sims = jnp.einsum("bqd,pnd->bqpn", tokens.astype(cd), vals_t.astype(cd),
                       preferred_element_type=jnp.float32)
+    if scales_t is not None:
+        sims = sims * scales_t[None, None, :, :]
     sims = jnp.where(mask_t[None, None, :, :] > 0, sims, NEG_INF)
     per_q = jnp.max(sims, axis=2)  # [B, NQ, Ds]
     has = jnp.max(mask_t, axis=0) > 0
@@ -196,8 +202,12 @@ def _local_tokens_padded(s1, tokens, qmask, use_pallas):
 
 def _local_pooled_padded(s1, pooled):
     vals_t, mask_t = s1["vals_t"], s1["mask_t"]
-    sims = jnp.einsum("bd,pnd->bpn", pooled.astype(vals_t.dtype), vals_t,
+    scales_t = s1.get("scales_t")
+    cd = _compute_dtype_for(vals_t)
+    sims = jnp.einsum("bd,pnd->bpn", pooled.astype(cd), vals_t.astype(cd),
                       preferred_element_type=jnp.float32)
+    if scales_t is not None:
+        sims = sims * scales_t[None, :, :]
     sims = jnp.where(mask_t[None, :, :] > 0, sims, NEG_INF)
     out = jnp.max(sims, axis=1)
     return jnp.where(jnp.max(mask_t, axis=0)[None, :] > 0, out, 0.0)
@@ -205,18 +215,24 @@ def _local_pooled_padded(s1, pooled):
 
 def _local_pooled_single(s1, pooled):
     vals = s1["vals"]
-    return jnp.einsum("bd,nd->bn", pooled.astype(vals.dtype), vals,
-                      preferred_element_type=jnp.float32)
+    cd = _compute_dtype_for(vals)
+    out = jnp.einsum("bd,nd->bn", pooled.astype(cd), vals.astype(cd),
+                     preferred_element_type=jnp.float32)
+    scales = s1.get("scales")
+    if scales is not None:
+        out = out * scales[None, :]
+    return out
 
 
 def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas):
+    scales = ragged.get("scales")  # per-doc int8 scales (None for float stores)
     if use_pallas:
         return rerank_candidates(
             ragged["flat"], ragged["offsets"], ragged["lengths"],
-            tokens, qmask, cand, max_len)
+            tokens, qmask, cand, max_len, doc_scales=scales)
     return BATCH.xla_rerank_batch(
         ragged["flat"], ragged["offsets"], ragged["lengths"],
-        tokens, qmask, cand, max_len)
+        tokens, qmask, cand, max_len, scales=scales)
 
 
 def _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas):

@@ -147,14 +147,14 @@ def xla_rerank_batch(
         docs = flat[idx]  # [B, chunk, T, dim]
         sims = jnp.einsum("bqd,bktd->bkqt", tokens.astype(cd), docs.astype(cd),
                           preferred_element_type=jnp.float32)
-        if scales is not None:
-            sims = sims * scales[idx][:, :, None, :]
         sims = jnp.where(tmask[:, :, None, :], sims, NEG_INF)
         per_q = jnp.max(sims, axis=3)  # [B, chunk, NQ]
         has = jnp.any(tmask, axis=2)
         per_q = jnp.where(has[:, :, None], per_q, 0.0)
         per_q = per_q * qmask.astype(jnp.float32)[:, None, :]
         sc = jnp.sum(per_q, axis=2)
+        if scales is not None:  # [D] per-doc int8 scales
+            sc = sc * scales[safe]
         return jnp.where(cc >= 0, sc, NEG_INF)
 
     out = jax.lax.map(one, ci)  # [n_chunks, B, chunk]
@@ -200,15 +200,25 @@ class BatchScorer:
             return self._dequant_cache[name], store
         cd = jnp.dtype(self.compute_dtype)
         if isinstance(store, PaddedMultiVectors):
-            vals_t = jnp.transpose(store.dequantized(cd), (1, 0, 2))
-            mask_t = jnp.asarray(store.mask.T, jnp.float32)
-            arr = (jax.device_put(vals_t), jax.device_put(mask_t))
-        elif isinstance(store, RaggedMultiVectors):
-            flat = store.flat.astype(cd)
             if store.scales is not None:
-                flat = (store.flat.astype(jnp.float32)
-                        * store.scales[:, None]).astype(cd)
-            arr = jax.device_put(flat)
+                # int8: keep codes native (HBM traffic stays 1 byte/elem);
+                # per-row scales ride along in kernel layout
+                vals_t = jnp.transpose(store.values, (1, 0, 2))
+                scales_t = jnp.asarray(store.scales.T, jnp.float32)
+            else:
+                vals_t = jnp.transpose(store.values.astype(cd), (1, 0, 2))
+                scales_t = None
+            mask_t = jnp.asarray(store.mask.T, jnp.float32)
+            arr = (jax.device_put(vals_t), jax.device_put(mask_t),
+                   None if scales_t is None else jax.device_put(scales_t))
+        elif isinstance(store, RaggedMultiVectors):
+            if store.scales is not None:
+                # int8 ragged: keep codes + per-doc scales native; the rerank
+                # kernel applies the scale once per candidate score
+                arr = (jax.device_put(store.flat),
+                       jax.device_put(store.scales))
+            else:
+                arr = jax.device_put(store.flat.astype(cd))
         else:
             arr = jax.device_put(store.dequantized(cd))
         self._dequant_cache[name] = arr
@@ -219,8 +229,8 @@ class BatchScorer:
         store = self.index.store(name)
         if isinstance(store, PaddedMultiVectors):
             if self.use_pallas:
-                (vals_t, mask_t), _ = self._kernel_arrays(name)
-                return pooled_maxsim_scores(vals_t, mask_t, tokens, qmask)
+                (vals_t, mask_t, scales_t), _ = self._kernel_arrays(name)
+                return pooled_maxsim_scores(vals_t, mask_t, tokens, qmask, scales_t)
             return xla_padded_tokens_batch(
                 store.values, store.mask, tokens, qmask, store.scales,
                 compute_dtype=self.compute_dtype)
@@ -247,10 +257,11 @@ class BatchScorer:
         if not isinstance(store, RaggedMultiVectors):
             raise ValueError(f"{name!r} must be a ragged token store")
         if self.use_pallas:
-            flat, _ = self._kernel_arrays(name)
+            arr, _ = self._kernel_arrays(name)
+            flat, scales = arr if isinstance(arr, tuple) else (arr, None)
             return rerank_candidates(
                 flat, store.offsets, store.lengths, tokens, qmask,
-                candidates, store.max_len)
+                candidates, store.max_len, doc_scales=scales)
         return xla_rerank_batch(
             store.flat, store.offsets, store.lengths, tokens, qmask,
             candidates, store.max_len, scales=store.scales,

@@ -339,11 +339,18 @@ class RetrievalEngine:
         store = self.index.store(name)
         arr, _ = self.batch_scorer._kernel_arrays(name)
         if isinstance(store, PaddedMultiVectors):
-            vals_t, mask_t = arr
-            return {"vals_t": vals_t, "mask_t": mask_t}
+            vals_t, mask_t, scales_t = arr
+            out = {"vals_t": vals_t, "mask_t": mask_t}
+            if scales_t is not None:
+                out["scales_t"] = scales_t
+            return out
         if isinstance(store, SingleVectors):
             return {"vals": arr}
-        return {"flat": arr, "offsets": store.offsets, "lengths": store.lengths}
+        flat, scales = arr if isinstance(arr, tuple) else (arr, None)
+        out = {"flat": flat, "offsets": store.offsets, "lengths": store.lengths}
+        if scales is not None:
+            out["scales"] = scales
+        return out
 
     def _fused_stage1(self, stage1_mode: str):
         m = _STAGE1_ALIASES.get(stage1_mode, stage1_mode)

@@ -116,7 +116,7 @@ def rerank_ragged(
     query: jnp.ndarray,  # [nq, dim] f32 normalized
     candidates: jnp.ndarray,  # [k] int32 doc indices (may contain -1 padding)
     max_len: int,
-    scales: Optional[jnp.ndarray] = None,  # [N]
+    scales: Optional[jnp.ndarray] = None,  # [D] PER-DOC int8 scales
     compute_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Exact MaxSim on the full token matrices of k candidate docs -> [k] f32.
@@ -124,7 +124,9 @@ def rerank_ragged(
     Gathers each candidate's token block via its offset table (bounded by the
     static ``max_len``), computes Q·Dᵀ with fp32 accumulation, masks padding,
     row-maxes and sums. This is the stage-2 rerank the reference runs inside
-    Qdrant with ``exact=True`` (two_stage.py:161-180).
+    Qdrant with ``exact=True`` (two_stage.py:161-180). int8 stores carry one
+    scale per doc, applied once to the final score (it commutes with
+    row-max and query-sum since query tokens hit one doc's rows).
     """
     cd = jnp.dtype(compute_dtype)
     cand = jnp.maximum(candidates, 0)
@@ -140,13 +142,13 @@ def rerank_ragged(
         "qd,ktd->kqt", query.astype(cd), docs.astype(cd),
         preferred_element_type=jnp.float32,
     )
-    if scales is not None:
-        sims = sims * scales[token_idx][:, None, :]
     sims = jnp.where(token_mask[:, None, :], sims, NEG_INF)
     per_q = jnp.max(sims, axis=2)  # [k, nq]
     has_tokens = jnp.any(token_mask, axis=1)
     per_q = jnp.where(has_tokens[:, None], per_q, 0.0)
     scores = jnp.sum(per_q, axis=1)
+    if scales is not None:
+        scores = scores * scales[cand]
     return jnp.where(valid_cand, scores, NEG_INF)
 
 
