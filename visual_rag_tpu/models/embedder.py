@@ -71,6 +71,7 @@ class VisualEmbedder:
         output_dtype=np.float32,
         config: Optional[ColVLMConfig] = None,
         params: Optional[Any] = None,
+        checkpoint: Optional[str] = None,  # safetensors dir or HF repo id
         seed: int = 0,
         sort_queries_by_length: Optional[bool] = None,
         nan_log_dir: Optional[str] = None,
@@ -81,6 +82,17 @@ class VisualEmbedder:
         self.output_dtype = np.dtype(output_dtype)
         self.cfg = config or _CONFIG_BY_BACKEND[self.backend]()
         self.model = ColVLM(self.cfg)
+        if params is None and checkpoint is not None:
+            from visual_rag_tpu.models.convert import load_checkpoint, validate_against_model
+
+            params, report = load_checkpoint(checkpoint, self.cfg)
+            issues = validate_against_model(params, self.cfg)
+            if issues:
+                raise ValueError(
+                    f"checkpoint {checkpoint!r} does not fit {model_name}: "
+                    f"{issues[:3]} (+{max(0, len(issues) - 3)} more)")
+            logger.info("loaded checkpoint %s (%d tensors)", checkpoint,
+                        len(report["matched"]))
         self._params = params
         self._seed = seed
         merge2 = self.cfg.spatial_merge * self.cfg.spatial_merge
