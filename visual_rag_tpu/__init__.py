@@ -54,6 +54,7 @@ _LAZY_ATTRS = {
     "IndexBuilder": "visual_rag_tpu.index.builder",
     "SealedIndex": "visual_rag_tpu.index.store",
     "RetrievalEngine": "visual_rag_tpu.retrieval.engine",
+    "MultiVectorRetriever": "visual_rag_tpu.retrieval.facade",
     "ProcessingPipeline": "visual_rag_tpu.pipeline.pipeline",
     "load_config": "visual_rag_tpu.config",
     "demo": "visual_rag_tpu.demo_runner",

@@ -102,6 +102,7 @@ class ProcessingPipeline:
         crop_config: Optional[CropEmptyConfig] = None,
         skip_existing: bool = True,
         metadata_mapping: Optional[Dict[str, Dict[str, Any]]] = None,
+        prefetch_workers: int = 4,
     ):
         if strategy not in STRATEGIES:
             raise ValueError(f"Unknown strategy: {strategy}. Choose one of {STRATEGIES}")
@@ -113,6 +114,7 @@ class ProcessingPipeline:
         self.upload_batch_size = int(upload_batch_size)
         self.max_mean_pool_vectors = max_mean_pool_vectors
         self.crop_config = crop_config
+        self.prefetch_workers = int(prefetch_workers)
         self.skip_existing = bool(skip_existing)
         self.metadata_mapping = metadata_mapping or {}
         self.plan = experimental_vector_plan(
@@ -153,20 +155,15 @@ class ProcessingPipeline:
         pages = self.pdf_processor.process_pdf(pdf_path)
         total = len(pages)
 
-        batch: List[Dict[str, Any]] = []
+        todo = []
         for page in pages:
             chunk_id = self.generate_chunk_id(filename, page["page_number"])
             if chunk_id in existing:
                 stats.pages_skipped += 1
-                continue
-            batch.append(page)
-            if len(batch) >= self.embedding_batch_size:
-                self._process_batch(batch, filename, base_meta, stats)
-                batch = []
-            if progress_callback:
-                progress_callback(stats.pages_processed + stats.pages_skipped, total)
-        if batch:
-            self._process_batch(batch, filename, base_meta, stats)
+            else:
+                todo.append(page)
+        self._run_prepared(todo, filename, base_meta, stats,
+                           progress_callback=progress_callback, total=total)
         self._flush(force=True, stats=stats)
         if progress_callback:
             progress_callback(total, total)
@@ -185,25 +182,64 @@ class ProcessingPipeline:
             {"page_number": i + 1, "image": img, "text": ""}
             for i, img in enumerate(images)
         ]
-        for s in range(0, len(pages), self.embedding_batch_size):
-            self._process_batch(pages[s : s + self.embedding_batch_size],
-                                source_id, base_meta, stats)
+        if self.skip_existing:
+            pages = [
+                p for p in pages
+                if not self.indexer.check_exists(
+                    self.generate_chunk_id(source_id, p["page_number"]))
+            ]
+            stats.pages_skipped += len(images) - len(pages)
+        self._run_prepared(pages, source_id, base_meta, stats)
         self._flush(force=True, stats=stats)
         return stats
+
+    def _run_prepared(self, pages, filename, base_meta, stats: PipelineStats,
+                      progress_callback=None, total: Optional[int] = None):
+        """Crop/prepare on host threads AHEAD of the device embed loop."""
+        from visual_rag_tpu.pipeline.prefetch import prefetched_batches
+
+        def prepare(page):
+            img = page["image"]
+            crop_meta = None
+            if self.crop_config is not None:
+                img, crop_meta = crop_empty(img, config=self.crop_config)
+            return page, img, crop_meta
+
+        for batch, errors in prefetched_batches(
+                pages, self.embedding_batch_size, prepare,
+                workers=self.prefetch_workers):
+            for err in errors:
+                stats.pages_failed += 1
+                stats.failures.append({
+                    "filename": filename,
+                    "page": err.item.get("page_number"),
+                    "error": str(err.error),
+                })
+            if batch:
+                self._embed_prepared(batch, filename, base_meta, stats)
+            if progress_callback and total:
+                progress_callback(
+                    min(stats.pages_processed + stats.pages_skipped, total), total)
 
     # -- internals -----------------------------------------------------------
 
     def _process_batch(self, pages, filename, base_meta, stats: PipelineStats):
-        images = []
-        crop_metas = []
+        """Synchronous prepare+embed (kept for direct callers; process_pdf /
+        process_images route through the prefetched path)."""
+        prepared = []
         for page in pages:
             img = page["image"]
             if self.crop_config is not None:
                 img, crop_meta = crop_empty(img, config=self.crop_config)
             else:
                 crop_meta = None
-            images.append(img)
-            crop_metas.append(crop_meta)
+            prepared.append((page, img, crop_meta))
+        self._embed_prepared(prepared, filename, base_meta, stats)
+
+    def _embed_prepared(self, prepared, filename, base_meta, stats: PipelineStats):
+        pages = [p for p, _, _ in prepared]
+        images = [img for _, img, _ in prepared]
+        crop_metas = [cm for _, _, cm in prepared]
         try:
             embeddings, token_infos = self.embedder.embed_images(
                 images, return_token_info=True)

@@ -7,4 +7,5 @@ Mode surface parity with the reference facade (SURVEY Appendix B):
 """
 
 from visual_rag_tpu.retrieval.engine import RetrievalEngine  # noqa: F401
+from visual_rag_tpu.retrieval.facade import MultiVectorRetriever  # noqa: F401
 from visual_rag_tpu.retrieval.filters import build_filter, PayloadFilter  # noqa: F401
