@@ -62,6 +62,7 @@ class ColVLMConfig:
     spatial_merge: int = 1
     image_token_id: int = 49190
     dtype: str = "bfloat16"
+    remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM in training
 
     @classmethod
     def colsmol_500m(cls) -> "ColVLMConfig":
@@ -280,11 +281,20 @@ class ColVLM(nn.Module):
                 out_hidden=self.cfg.text.hidden, merge=self.cfg.spatial_merge, dtype=dtype)
         else:
             self.connector = nn.Dense(self.cfg.text.hidden, dtype=dtype, name="connector")
+        if self.cfg.remat:
+            # rematerialize transformer blocks: activations recomputed in the
+            # backward pass instead of living in HBM (task: trade FLOPs for memory)
+            decoder_cls = nn.remat(DecoderBlock)
+            vit_cls = nn.remat(ViTBlock)
+        else:
+            decoder_cls = DecoderBlock
+            vit_cls = ViTBlock
+        self._decoder_cls = decoder_cls
         self.tok_embed = nn.Embed(
             self.cfg.text.vocab, self.cfg.text.hidden, dtype=dtype,
             embedding_init=nn.initializers.normal(0.02))
         self.blocks = [
-            DecoderBlock(self.cfg.text, dtype=dtype, name=f"layer_{i}")
+            decoder_cls(self.cfg.text, dtype=dtype, name=f"layer_{i}")
             for i in range(self.cfg.text.layers)
         ]
         self.final_norm = RMSNorm()
