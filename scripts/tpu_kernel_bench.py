@@ -24,11 +24,11 @@ qmask = np.ones((B,NQ),bool)
 qj, qmj = jnp.asarray(queries), jnp.asarray(qmask)
 
 t0=time.time()
-s = pooled_maxsim_scores(mp.values, mp.mask, qj, qmj, block_d=128)
+s = pooled_maxsim_scores(jnp.transpose(mp.values,(1,0,2)), jnp.asarray(mp.mask).T, qj, qmj, block_d=128)
 s.block_until_ready(); print('prefetch compile+run %.1fs' % (time.time()-t0))
 t0=time.time()
 for _ in range(20):
-    s = pooled_maxsim_scores(mp.values, mp.mask, qj, qmj, block_d=128)
+    s = pooled_maxsim_scores(jnp.transpose(mp.values,(1,0,2)), jnp.asarray(mp.mask).T, qj, qmj, block_d=128)
 s.block_until_ready(); dt=(time.time()-t0)/20
 print('prefetch warm %.2fms/batch -> %.3fms/query' % (dt*1000, dt/B*1000))
 ref = np.asarray(score_padded_tokens(mp.values, mp.mask, jnp.asarray(queries[0]), compute_dtype='bfloat16'))

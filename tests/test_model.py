@@ -94,3 +94,30 @@ class TestTraining:
         specs = jax.tree.leaves(
             jax.tree.map(lambda x: str(x.sharding.spec), state.params))
         assert any("tp" in s for s in specs), specs
+
+
+class TestCheckpointing:
+    def test_save_restore_roundtrip(self, tiny, tmp_path):
+        import numpy as np
+
+        from visual_rag_tpu.models.train import (
+            Trainer, restore_train_state, save_train_state, synthetic_batch)
+        from visual_rag_tpu.parallel import make_mesh
+
+        cfg, _, _, _ = tiny
+        mesh = make_mesh((2, 4), ("dp", "tp"))
+        trainer = Trainer(cfg, mesh, lr=1e-3, warmup=0)
+        batch = synthetic_batch(cfg, batch=4, query_len=8, n_patches=16)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state, _ = trainer.train_step_once(state, batch)
+        path = save_train_state(state, tmp_path / "ckpt")
+        assert "step_" in path
+        restored = restore_train_state(tmp_path / "ckpt", template=state)
+        assert restored.step == state.step
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32))
+        # training continues from the restored state
+        state2, metrics = trainer.train_step_once(restored, batch)
+        assert np.isfinite(float(metrics["loss"]))

@@ -130,16 +130,20 @@ class VisualEmbedder:
 
     # -- queries -------------------------------------------------------------
 
-    def embed_query(self, query: str, include_special_tokens: bool = False) -> np.ndarray:
+    def embed_query(self, query: str,
+                    include_special_tokens: Optional[bool] = None) -> np.ndarray:
         return self.embed_queries([query], include_special_tokens=include_special_tokens)[0]
 
     def embed_queries(
         self,
         queries: Sequence[str],
         batch_size: Optional[int] = None,
-        include_special_tokens: bool = False,
+        include_special_tokens: Optional[bool] = None,
     ) -> List[np.ndarray]:
         """Batched query embedding with NaN guard + solo-recompute fallback."""
+        if include_special_tokens is None:  # env knob parity (reference config.py)
+            include_special_tokens = os.environ.get(
+                "VISUALRAG_INCLUDE_SPECIAL_TOKENS", "0") in ("1", "true")
         batch_size = batch_size or self.batch_size
         order = list(range(len(queries)))
         if self.sort_queries_by_length:

@@ -122,6 +122,43 @@ class Trainer:
         return TrainState(params, opt_state, state.step + 1), metrics
 
 
+def save_train_state(state: TrainState, directory, step: Optional[int] = None) -> str:
+    """Checkpoint params+opt_state with orbax (async-safe, atomic dirs)."""
+    import orbax.checkpoint as ocp
+
+    from pathlib import Path
+
+    step = state.step if step is None else int(step)
+    path = Path(directory).resolve() / f"step_{step:08d}"
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, {"params": state.params, "opt_state": state.opt_state,
+                     "step": step}, force=True)
+    return str(path)
+
+
+def restore_train_state(directory, step: Optional[int] = None,
+                        template: Optional[TrainState] = None) -> TrainState:
+    """Restore the latest (or given) step; template supplies shardings."""
+    import orbax.checkpoint as ocp
+
+    from pathlib import Path
+
+    root = Path(directory).resolve()
+    if step is None:
+        steps = sorted(int(p.name.split("_")[1]) for p in root.glob("step_*"))
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {root}")
+        step = steps[-1]
+    ckpt = ocp.PyTreeCheckpointer()
+    target = None
+    if template is not None:
+        target = {"params": template.params, "opt_state": template.opt_state,
+                  "step": template.step}
+    restored = ckpt.restore(root / f"step_{step:08d}", item=target)
+    return TrainState(params=restored["params"], opt_state=restored["opt_state"],
+                      step=int(restored["step"]))
+
+
 def synthetic_batch(cfg: ColVLMConfig, batch: int, query_len: int, n_patches: int,
                     seed: int = 0):
     """Deterministic synthetic (query, page) batch for tests/dry-runs."""
