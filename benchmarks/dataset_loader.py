@@ -208,8 +208,28 @@ def load_paired_from_rows(name: str, rows: Iterable[Mapping[str, Any]]) -> BeirD
     return BeirDataset(name=name, corpus=corpus, queries=queries, qrels=qrels)
 
 
+def load_local_json_dataset(path: str) -> BeirDataset:
+    """Load a BEIR dataset from one JSON file (hermetic / air-gapped runs).
+
+    Shape: {"name": ..., "corpus": [{"corpus-id", "embedding"|"image"...}],
+    "queries": [{"query-id", "query"}], "qrels": [{"query-id", "corpus-id",
+    "score"}]}. Embeddings may be nested lists.
+    """
+    import json
+
+    with open(path, "r", encoding="utf-8") as f:
+        obj = json.load(f)
+    return load_beir_from_rows(
+        obj.get("name") or str(path), obj["corpus"], obj["queries"], obj["qrels"])
+
+
 def load_vidore_dataset_auto(name: str, split: str = "test") -> BeirDataset:
-    """Protocol sniffing: try BEIR shape, fall back to paired (reference :362-375)."""
+    """Protocol sniffing: local JSON file, BEIR shape, then paired shape.
+
+    Reference :362-375 plus a local-file path for air-gapped environments.
+    """
+    if name.endswith(".json"):
+        return load_local_json_dataset(name)
     try:
         return load_vidore_beir_dataset(name, split)
     except Exception:
