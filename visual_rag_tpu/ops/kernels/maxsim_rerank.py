@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30  # python float: jnp scalars would be captured consts in pallas kernels
 
 
-def _make_kernel(max_len: int, group: int):
+def _make_kernel(max_len: int, group: int, n_slots: int):
     def kernel(off_ref, len_ref, scale_ref, q_ref, qmask_ref, flat_hbm, out_ref,
                scratch, sems):
         blk = pl.program_id(0)
@@ -48,15 +48,19 @@ def _make_kernel(max_len: int, group: int):
                 sems.at[slot],
             )
 
-        get_dma(0, 0).start()
+        # keep n_slots-1 DMAs in flight: per-candidate copies are latency-
+        # bound, so deeper pipelining matters more than bandwidth here
+        for g in range(min(n_slots - 1, group)):
+            get_dma(g % n_slots, g).start()
         q = q_ref[0]  # [NQ, dim]
         qm = qmask_ref[0]  # [1, NQ] f32
         nq = q.shape[0]
 
         for g in range(group):  # static unroll: out lane index stays static
-            slot = g % 2
-            if g + 1 < group:
-                get_dma((g + 1) % 2, g + 1).start()
+            slot = g % n_slots
+            nxt = g + n_slots - 1
+            if nxt < group:
+                get_dma(nxt % n_slots, nxt).start()
             get_dma(slot, g).wait()
             ln = len_ref[base + g]
             docs = scratch[slot]  # [MAX_LEN, dim]
@@ -82,7 +86,7 @@ def _make_kernel(max_len: int, group: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("max_len", "group", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_len", "group", "n_slots", "interpret"))
 def rerank_candidates(
     flat: jnp.ndarray,  # [N + pad, dim] ragged store (bf16/f32, or int8 codes)
     offsets: jnp.ndarray,  # [D] int32
@@ -93,6 +97,7 @@ def rerank_candidates(
     max_len: int,
     doc_scales: jnp.ndarray | None = None,  # [D] per-doc int8 scales
     group: int = 8,
+    n_slots: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact MaxSim scores [B, K] f32 for each query's candidate docs."""
@@ -133,12 +138,12 @@ def rerank_candidates(
             (1, 1, group), lambda blk, *_: (blk, 0, 0), memory_space=pltpu.SMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, max_len, dim), flat.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, max_len, dim), flat.dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(max_len, group),
+        _make_kernel(max_len, group, n_slots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, 1, group), jnp.float32),
         interpret=interpret,
