@@ -25,10 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from visual_rag_tpu.index.store import (
-    PaddedMultiVectors,
     RaggedMultiVectors,
     SealedIndex,
-    SingleVectors,
     quantize_rows_int8,
 )
 

@@ -21,7 +21,7 @@ into the sequence at image-placeholder positions with a mask-based select.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

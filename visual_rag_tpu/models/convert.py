@@ -29,7 +29,6 @@ Weight-shape conventions: HF Linear stores [out, in]; flax Dense kernels are
 from __future__ import annotations
 
 import logging
-import re
 from typing import Any, Dict, List, Tuple
 
 import numpy as np

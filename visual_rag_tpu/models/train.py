@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import optax
 from jax.sharding import Mesh
 
 from visual_rag_tpu.models.colvlm import ColVLM, ColVLMConfig
-from visual_rag_tpu.models.sharding import batch_sharding, param_shardings, replicated
+from visual_rag_tpu.models.sharding import batch_sharding, param_shardings
 from visual_rag_tpu.ops.maxsim import maxsim_matrix_padded
 
 

@@ -27,7 +27,6 @@ Replaces: the reference's Qdrant-server-as-cluster distribution model
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax

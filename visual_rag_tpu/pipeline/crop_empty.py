@@ -12,7 +12,7 @@ Works on PIL images or numpy [H, W, 3] arrays (PIL optional).
 from __future__ import annotations
 
 from dataclasses import asdict, dataclass
-from typing import Any, Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 
