@@ -101,13 +101,23 @@ class Trainer:
             q_emb, batch["query_mask"], p_emb, batch["page_mask"],
             temperature=self.temperature)
 
-    def make_train_step(self):
-        bsh = batch_sharding(self.mesh)
+    def _batch_spec(self, x):
+        """dp over batch; sp (if present in the mesh) over the sequence dim."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
+        has_sp = "sp" in self.mesh.axis_names
+        if x.ndim >= 2 and has_sp:
+            spec = P("dp", "sp", *([None] * (x.ndim - 2)))
+        else:
+            spec = P("dp", *([None] * (x.ndim - 1)))
+        return NamedSharding(self.mesh, spec)
+
+    def make_train_step(self):
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch):
-            batch = jax.lax.with_sharding_constraint(
-                batch, jax.tree.map(lambda _: bsh, batch))
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, self._batch_spec(x)),
+                batch)
             (loss, metrics), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True)(params, batch)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
