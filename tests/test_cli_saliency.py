@@ -113,3 +113,27 @@ class TestCLI:
 
         with pytest.raises(SystemExit):
             main(["info", "--index-dir", str(tmp_path), "--collection", "nope"])
+
+
+class TestSaliencyOverlay:
+    def test_overlay_and_results_figure(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from visual_rag_tpu.visualization.saliency import (
+            create_saliency_overlay, generate_saliency_map, visualize_search_results)
+
+        rng = np.random.default_rng(0)
+        doc = rng.standard_normal((2 * 64, 16)).astype(np.float32)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        sal, _ = generate_saliency_map(q, doc, n_rows=1, n_cols=2)
+        img = (rng.random((64, 128, 3)) * 255).astype(np.uint8)
+        out = create_saliency_overlay(img, sal, threshold_percentile=50)
+        assert out.size == (128, 64)  # PIL (w, h)
+        fig = visualize_search_results(
+            "query", [{"score_final": 1.0, "payload": {"filename": "a", "page_number": 1}},
+                      {"score_final": 0.5, "payload": {}}],
+            images=[img, None])
+        assert fig is not None
+        with pytest.raises(ValueError):
+            visualize_search_results("q", [])

@@ -121,3 +121,16 @@ class TestCheckpointing:
         # training continues from the restored state
         state2, metrics = trainer.train_step_once(restored, batch)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestShardingRules:
+    def test_mesh_without_tp_axis_replicates(self, tiny):
+        # serving/dp-only meshes must not crash the sharding rules
+        cfg, _, _, _ = tiny
+        mesh = make_mesh((8,), ("dp",))
+        trainer = Trainer(cfg, mesh, lr=1e-3, warmup=0)
+        batch = synthetic_batch(cfg, batch=8, query_len=8, n_patches=16)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        _, _, metrics = trainer.make_train_step()(
+            state.params, state.opt_state, batch)
+        assert np.isfinite(float(metrics["loss"]))

@@ -52,7 +52,9 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
         shape = getattr(leaf, "shape", ())
         fixed = []
         for dim_size, axis in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
-            if axis is None:
+            if axis is None or axis not in mesh.shape:
+                # axis absent from this mesh (e.g. dp-only serving mesh) or
+                # explicitly replicated
                 fixed.append(None)
             else:
                 n = int(mesh.shape[axis])
