@@ -145,9 +145,12 @@ class GQAttention(nn.Module):
     rope_theta: Optional[float] = None
     causal: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, mask, positions=None):
+        from visual_rag_tpu.models.attention import mha
+
         b, t, h = x.shape
         dh = h // self.heads
         q = nn.Dense(self.heads * dh, use_bias=False, dtype=self.dtype, name="q")(x)
@@ -164,17 +167,8 @@ class GQAttention(nn.Module):
         rep = self.heads // self.kv_heads
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(dh).astype(jnp.float32)
-        big_neg = jnp.finfo(jnp.float32).min
-        attn_mask = mask[:, None, None, :]  # [B, 1, 1, K]
-        if self.causal:
-            causal = jnp.tril(jnp.ones((t, t), dtype=bool))
-            attn_mask = attn_mask & causal[None, None, :, :]
-        logits = jnp.where(attn_mask, logits, big_neg)
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        out = mha(q, k, v, mask, causal=self.causal, dtype=self.dtype,
+                  use_flash=self.use_flash)
         out = out.reshape(b, t, self.heads * dh)
         return nn.Dense(h, use_bias=False, dtype=self.dtype, name="o")(out)
 
