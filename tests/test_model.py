@@ -134,3 +134,78 @@ class TestShardingRules:
         _, _, metrics = trainer.make_train_step()(
             state.params, state.opt_state, batch)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestWindowAttention:
+    def test_windows_isolate_in_windowed_layers(self):
+        import dataclasses
+
+        from visual_rag_tpu.models.colvlm import VisionConfig
+
+        tiny = ColVLMConfig.tiny()
+        cfg = dataclasses.replace(
+            tiny,
+            vision=dataclasses.replace(tiny.vision, window_side=2,
+                                       full_attn_layers=()))
+        model = ColVLM(cfg)
+        # 4x4 patch grid -> four 2x2 windows, row-major
+        gh = gw = 4
+        n = gh * gw
+        rng = np.random.default_rng(0)
+        patches = rng.standard_normal((1, n, cfg.vision.patch_pixels)).astype(np.float32)
+        pmask = np.ones((1, n), bool)
+        rr = np.arange(gh)[:, None] // 2
+        cc = np.arange(gw)[None, :] // 2
+        wids = (rr * 2 + cc).reshape(1, -1).astype(np.int32)
+        params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32),
+                            jnp.ones((1, 4), bool), jnp.asarray(patches),
+                            jnp.asarray(pmask), jnp.asarray(wids))
+
+        def enc(p):
+            return np.asarray(model.apply(
+                params, jnp.asarray(p), jnp.asarray(pmask), jnp.asarray(wids),
+                method=ColVLM.encode_images), np.float32)
+
+        base = enc(patches)
+        perturbed = patches.copy()
+        perturbed[0, 0] += 3.0  # patch (0,0): window 0
+        out = enc(perturbed)
+        # window 0 covers grid positions (0,0),(0,1),(1,0),(1,1) = flat 0,1,4,5
+        win0 = [0, 1, 4, 5]
+        others = [i for i in range(n) if i not in win0]
+        assert np.abs(out[0, win0] - base[0, win0]).max() > 1e-4
+        np.testing.assert_allclose(out[0, others], base[0, others], atol=1e-5)
+
+    def test_full_attn_layer_mixes_across_windows(self):
+        import dataclasses
+
+        tiny = ColVLMConfig.tiny()
+        cfg = dataclasses.replace(
+            tiny,
+            vision=dataclasses.replace(tiny.vision, window_side=2,
+                                       full_attn_layers=(1,)))
+        model = ColVLM(cfg)
+        gh = gw = 4
+        n = gh * gw
+        rng = np.random.default_rng(1)
+        patches = rng.standard_normal((1, n, cfg.vision.patch_pixels)).astype(np.float32)
+        pmask = np.ones((1, n), bool)
+        rr = np.arange(gh)[:, None] // 2
+        cc = np.arange(gw)[None, :] // 2
+        wids = (rr * 2 + cc).reshape(1, -1).astype(np.int32)
+        params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32),
+                            jnp.ones((1, 4), bool), jnp.asarray(patches),
+                            jnp.asarray(pmask), jnp.asarray(wids))
+
+        def enc(p):
+            return np.asarray(model.apply(
+                params, jnp.asarray(p), jnp.asarray(pmask), jnp.asarray(wids),
+                method=ColVLM.encode_images), np.float32)
+
+        base = enc(patches)
+        perturbed = patches.copy()
+        perturbed[0, 0] += 3.0
+        out = enc(perturbed)
+        # the full-attention layer mixes all windows -> everything changes
+        assert np.abs(out - base).max() > 1e-4
+        assert np.abs(out[0, 10] - base[0, 10]).max() > 1e-6

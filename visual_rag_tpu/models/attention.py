@@ -27,20 +27,27 @@ def _flash_available(t: int, dh: int) -> bool:
     return t >= 1024 and t % 128 == 0 and dh % 64 == 0
 
 
-def mha(q, k, v, mask, *, causal: bool, dtype, use_flash: bool = True):
-    """Multi-head attention with padding mask.
+def mha(q, k, v, mask, *, causal: bool, dtype, use_flash: bool = True,
+        segments=None):
+    """Multi-head attention with padding mask and optional segment restriction.
 
-    q/k/v: [B, T, H, Dh]; mask: [B, T] bool (key/query validity).
+    q/k/v: [B, T, H, Dh]; mask: [B, T] bool (key/query validity);
+    segments: optional [B, T] int32 — tokens attend only within equal segment
+    ids (window attention for the Qwen2.5-VL vision tower: windows = segments).
     Returns [B, T, H, Dh] in ``dtype``.
     """
     b, t, h, dh = q.shape
+    if segments is None:
+        seg = mask.astype(jnp.int32)  # pads = segment 0, valid = segment 1
+    else:
+        # shift window ids to >= 1 so pad tokens (segment 0) never mix in
+        seg = jnp.where(mask, segments.astype(jnp.int32) + 1, 0)
     if use_flash and _flash_available(t, dh):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds,
             flash_attention,
         )
 
-        seg = mask.astype(jnp.int32)  # pads = segment 0, valid = segment 1
         out = flash_attention(
             jnp.moveaxis(q, 2, 1).astype(dtype),  # [B, H, T, Dh]
             jnp.moveaxis(k, 2, 1).astype(dtype),
@@ -55,7 +62,7 @@ def mha(q, k, v, mask, *, causal: bool, dtype, use_flash: bool = True):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits / jnp.sqrt(dh).astype(jnp.float32)
     big_neg = jnp.finfo(jnp.float32).min
-    attn_mask = mask[:, None, None, :]
+    attn_mask = mask[:, None, None, :] & (seg[:, None, :, None] == seg[:, None, None, :])
     if causal:
         causal_m = jnp.tril(jnp.ones((t, t), dtype=bool))
         attn_mask = attn_mask & causal_m[None, None, :, :]

@@ -38,6 +38,11 @@ class VisionConfig:
     mlp_ratio: float = 4.0
     patch_pixels: int = 3 * 16 * 16  # flattened patch input size
     max_patches: int = 1024
+    # Qwen2.5-VL-style window attention: tokens attend within window_side x
+    # window_side patch windows except at full_attn_layers (0 = full attention
+    # everywhere, the SigLIP/ColSmol/ColPali behavior)
+    window_side: int = 0
+    full_attn_layers: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,7 +97,8 @@ class ColVLMConfig:
         """ColQwen2.5-v0.2 shape (Qwen2.5-VL-3B: window-attn ViT + 2x2 merge)."""
         return cls(
             vision=VisionConfig(hidden=1280, layers=32, heads=16, patch_pixels=3 * 14 * 14,
-                                max_patches=4096),
+                                max_patches=4096, window_side=8,
+                                full_attn_layers=(7, 15, 23, 31)),
             text=TextConfig(hidden=2048, layers=36, heads=16, kv_heads=2,
                             mlp_hidden=11008, vocab=151936, rope_theta=1000000.0),
             spatial_merge=2,
@@ -148,7 +154,7 @@ class GQAttention(nn.Module):
     use_flash: bool = True
 
     @nn.compact
-    def __call__(self, x, mask, positions=None):
+    def __call__(self, x, mask, positions=None, segments=None):
         from visual_rag_tpu.models.attention import mha
 
         b, t, h = x.shape
@@ -168,7 +174,7 @@ class GQAttention(nn.Module):
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
         out = mha(q, k, v, mask, causal=self.causal, dtype=self.dtype,
-                  use_flash=self.use_flash)
+                  use_flash=self.use_flash, segments=segments)
         out = out.reshape(b, t, self.heads * dh)
         return nn.Dense(h, use_bias=False, dtype=self.dtype, name="o")(out)
 
@@ -208,11 +214,11 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, segments=None):
         h = x + GQAttention(
             heads=self.cfg.heads, kv_heads=self.cfg.heads, rope_theta=None,
             causal=False, dtype=self.dtype, name="attn",
-        )(nn.LayerNorm(dtype=self.dtype, name="ln1")(x), mask)
+        )(nn.LayerNorm(dtype=self.dtype, name="ln1")(x), mask, segments=segments)
         y = nn.LayerNorm(dtype=self.dtype, name="ln2")(h)
         y = nn.Dense(int(self.cfg.hidden * self.cfg.mlp_ratio), dtype=self.dtype,
                      name="fc1")(y)
@@ -226,7 +232,7 @@ class VisionTower(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, patches, patch_mask):
+    def __call__(self, patches, patch_mask, window_ids=None):
         # patches: [B, N, patch_pixels] flattened pixel patches
         b, n, _ = patches.shape
         if n > self.cfg.max_patches:
@@ -238,8 +244,13 @@ class VisionTower(nn.Module):
             "pos_embed", nn.initializers.normal(0.02), (self.cfg.max_patches, self.cfg.hidden)
         )
         x = x + pos[:n][None, :, :].astype(self.dtype)
+        windowed = self.cfg.window_side > 0 and window_ids is not None
         for i in range(self.cfg.layers):
-            x = ViTBlock(self.cfg, dtype=self.dtype, name=f"block_{i}")(x, patch_mask)
+            seg = None
+            if windowed and i not in self.cfg.full_attn_layers:
+                seg = window_ids
+            x = ViTBlock(self.cfg, dtype=self.dtype, name=f"block_{i}")(
+                x, patch_mask, segments=seg)
         return nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)
 
 
@@ -295,9 +306,9 @@ class ColVLM(nn.Module):
         self.proj = nn.Dense(self.cfg.embed_dim, use_bias=False, dtype=dtype,
                              name="embedding_proj")
 
-    def encode_images(self, patches, patch_mask):
+    def encode_images(self, patches, patch_mask, window_ids=None):
         """[B, N, patch_pixels] -> [B, N', text_hidden] image token embeddings."""
-        feats = self.vision(patches, patch_mask)
+        feats = self.vision(patches, patch_mask, window_ids)
         if self.cfg.spatial_merge > 1:
             return self.merger(feats)
         return self.connector(feats)
@@ -315,7 +326,8 @@ class ColVLM(nn.Module):
         e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
         return e * mask[..., None].astype(jnp.float32)
 
-    def __call__(self, input_ids, attn_mask, patches=None, patch_mask=None):
+    def __call__(self, input_ids, attn_mask, patches=None, patch_mask=None,
+                 window_ids=None):
         """Forward pages (ids containing image placeholders) or plain queries.
 
         input_ids: [B, L]; image placeholder positions (== cfg.image_token_id)
@@ -324,7 +336,7 @@ class ColVLM(nn.Module):
         """
         x = self.tok_embed(input_ids)
         if patches is not None:
-            img = self.encode_images(patches, patch_mask)  # [B, Ni, H]
+            img = self.encode_images(patches, patch_mask, window_ids)  # [B, Ni, H]
             is_img = input_ids == self.cfg.image_token_id  # [B, L]
             # index of each image slot within its row: 0..Ni-1
             slot = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1
@@ -337,5 +349,6 @@ class ColVLM(nn.Module):
     def embed_queries(self, input_ids, attn_mask):
         return self(input_ids, attn_mask)
 
-    def embed_pages(self, input_ids, attn_mask, patches, patch_mask):
-        return self(input_ids, attn_mask, patches, patch_mask)
+    def embed_pages(self, input_ids, attn_mask, patches, patch_mask,
+                    window_ids=None):
+        return self(input_ids, attn_mask, patches, patch_mask, window_ids)

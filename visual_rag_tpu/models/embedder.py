@@ -112,8 +112,8 @@ class VisualEmbedder:
         self._jit_queries = jax.jit(
             lambda p, ids, mask: self.model.apply(p, ids, mask))
         self._jit_pages = jax.jit(
-            lambda p, ids, mask, patches, pmask: self.model.apply(
-                p, ids, mask, patches, pmask))
+            lambda p, ids, mask, patches, pmask, wids: self.model.apply(
+                p, ids, mask, patches, pmask, wids))
 
     # -- parameters (lazy init like the reference's lazy model load) --------
 
@@ -201,10 +201,11 @@ class VisualEmbedder:
         infos: List[Dict[str, Any]] = []
         for s in range(0, len(images), batch_size):
             proc = self.processor.process_images(list(images[s : s + batch_size]))
+            wids = None if proc.window_ids is None else jnp.asarray(proc.window_ids)
             emb = np.asarray(self._jit_pages(
                 self.params,
                 jnp.asarray(proc.input_ids), jnp.asarray(proc.attn_mask),
-                jnp.asarray(proc.patches), jnp.asarray(proc.patch_mask)),
+                jnp.asarray(proc.patches), jnp.asarray(proc.patch_mask), wids),
                 dtype=np.float32)
             for i, info in enumerate(proc.token_infos):
                 n_valid = int(proc.attn_mask[i].sum())

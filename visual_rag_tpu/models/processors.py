@@ -110,6 +110,7 @@ class ProcessedImages:
     input_ids: np.ndarray  # [B, L] int32 (image placeholders + prompt)
     attn_mask: np.ndarray  # [B, L] bool
     token_infos: List[Dict[str, Any]]
+    window_ids: Optional[np.ndarray] = None  # [B, N] int32 (-1 = pad); Qwen windows
 
 
 class ImageProcessor:
@@ -180,11 +181,17 @@ class ImageProcessor:
         gh, gw = 2 * h_eff, 2 * w_eff  # pre-merge patch grid
         canvas = _resize_nn(image, gh * self.patch_side, gw * self.patch_side)
         patches = self._patchify(canvas, gh, gw)
+        # Qwen2.5-VL window attention: 8x8 pre-merge patch windows, row-major
+        w = 8
+        rr = np.arange(gh)[:, None] // w
+        cc = np.arange(gw)[None, :] // w
+        self._last_window_ids = (rr * (-(-gw // w)) + cc).reshape(-1).astype(np.int32)
         info = {
             "n_rows": None, "n_cols": None, "num_tiles": None,
             "num_visual_tokens": h_eff * w_eff,
             "grid_t": 1, "grid_h": gh, "grid_w": gw,
             "grid_h_eff": h_eff, "grid_w_eff": w_eff,
+            "_window_ids": self._last_window_ids,
         }
         return patches, info
 
@@ -227,18 +234,24 @@ class ImageProcessor:
         patch_mask = np.zeros((b, n_patches), dtype=bool)
         input_ids = np.zeros((b, seq), dtype=np.int32)
         attn_mask = np.zeros((b, seq), dtype=bool)
+        is_qwen = self.backend in ("colqwen2.5", "colqwen2")
+        window_ids = np.full((b, n_patches), -1, dtype=np.int32) if is_qwen else None
         infos = []
         for i, (p, info) in enumerate(per_image):
             patches[i, : p.shape[0]] = p
             patch_mask[i, : p.shape[0]] = True
+            if window_ids is not None and info.get("_window_ids") is not None:
+                window_ids[i, : p.shape[0]] = info.pop("_window_ids")
             nv = info["num_visual_tokens"]
             input_ids[i, :nv] = self.image_token_id
             input_ids[i, nv : nv + len(prompt_ids)] = prompt_ids
             attn_mask[i, : nv + len(prompt_ids)] = True
             info = dict(info)
+            info.pop("_window_ids", None)
             info["visual_token_indices"] = list(range(nv))
             infos.append(info)
-        return ProcessedImages(patches, patch_mask, input_ids, attn_mask, infos)
+        return ProcessedImages(patches, patch_mask, input_ids, attn_mask, infos,
+                               window_ids=window_ids)
 
     def process_queries(self, texts: Sequence[str], max_len: Optional[int] = None):
         ids, mask = self.tokenizer.batch_encode(
