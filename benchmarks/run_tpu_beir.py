@@ -285,6 +285,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--max-corpus-docs", type=int, default=None)
     parser.add_argument("--sample-queries", type=int, default=None)
     parser.add_argument("--query-batch-size", type=int, default=32)
+    parser.add_argument("--num-shards", type=int, default=1,
+                        help="shard the corpus over N mesh devices "
+                             "(distributed top-k merge; BASELINE config 5)")
     args = parser.parse_args(argv)
 
     from visual_rag_tpu.models.embedder import VisualEmbedder
@@ -313,7 +316,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         builder.save(index_dir)
 
     if args.evaluate:
-        engine = RetrievalEngine(builder.seal())
+        index = builder.seal()
+        if args.num_shards > 1:
+            from visual_rag_tpu.parallel import ShardedEngine, ShardedIndex, make_mesh
+
+            mesh = make_mesh((args.num_shards,), ("data",))
+            engine = ShardedEngine(ShardedIndex.from_index(index, mesh))
+            engine.index = index  # evaluate() reads manifest/num_docs off .index
+        else:
+            engine = RetrievalEngine(index)
         reports = []
         for ds in datasets:
             report = evaluate(

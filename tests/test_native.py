@@ -96,3 +96,36 @@ class TestFilters:
         mask = native.filter_eq(col_b, 7, mask)  # AND chaining
         assert mask.tolist() == [1, 0, 0, 0, 1, 0]
         assert native.filter_in(col_a, [2, 3]).tolist() == [0, 1, 0, 1, 0, 1]
+
+
+class TestDurability:
+    def test_load_then_resave_roundtrip(self, rng, tmp_path):
+        # regression: save() used to truncate the mmap the loaded views read
+        # from, crashing mid-save and destroying the collection
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+
+        b = IndexBuilder(CollectionSchema.standard(storage_dtype="float32", dim=16))
+        for i in range(4):
+            b.add(f"d{i}", {
+                "initial": rng.standard_normal((7, 16)).astype(np.float32),
+                "mean_pooling": rng.standard_normal((3, 16)).astype(np.float32),
+                "experimental_pooling": rng.standard_normal((4, 16)).astype(np.float32),
+                "global_pooling": rng.standard_normal((16,)).astype(np.float32)})
+        d = tmp_path / "coll"
+        b.save(d)
+        loaded = IndexBuilder.load(d)
+        loaded.add("d_new", {
+            "initial": rng.standard_normal((5, 16)).astype(np.float32),
+            "mean_pooling": rng.standard_normal((3, 16)).astype(np.float32),
+            "experimental_pooling": rng.standard_normal((4, 16)).astype(np.float32),
+            "global_pooling": rng.standard_normal((16,)).astype(np.float32)})
+        loaded.save(d)  # resave over the file we just loaded from
+        again = IndexBuilder.load(d)
+        assert len(again) == 5
+        assert (d / "collection.vrag").stat().st_size > 16
+
+    def test_empty_file_clear_error(self, tmp_path):
+        p = tmp_path / "c.vrag"
+        p.write_bytes(b"")
+        with pytest.raises(ValueError, match="empty or truncated"):
+            native.read_store(p)

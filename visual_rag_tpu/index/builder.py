@@ -196,7 +196,10 @@ class IndexBuilder:
         with open(directory / "schema.json", "w", encoding="utf-8") as f:
             json.dump(self.schema.to_json(), f, indent=2)
         self.manifest.save(directory / "manifest.jsonl")
-        writer = native.VragWriter(directory / "collection.vrag")
+        # write-to-temp + atomic replace: saving over a loaded collection must
+        # never truncate the file its own mmap'd views may still read from
+        tmp_path = directory / "collection.vrag.tmp"
+        writer = native.VragWriter(tmp_path)
         try:
             for name, mats in self._vectors.items():
                 spec = self.schema.vectors[name]
@@ -214,6 +217,9 @@ class IndexBuilder:
                 writer.add(f"vec__{name}__lengths", lengths)
         finally:
             writer.close()
+        import os
+
+        os.replace(tmp_path, directory / "collection.vrag")
 
     @classmethod
     def load(cls, directory: str | Path) -> "IndexBuilder":
@@ -231,7 +237,9 @@ class IndexBuilder:
             mats: List[np.ndarray] = []
             pos = 0
             for ln in lengths:
-                block = data[pos : pos + int(ln)]
+                # copy out of the mmap: views would dangle if the collection
+                # file is later replaced (and block in-place re-saves)
+                block = np.array(data[pos : pos + int(ln)])
                 mats.append(block[0] if spec.layout == "single" else block)
                 pos += int(ln)
             builder._vectors[name] = mats

@@ -246,6 +246,8 @@ def _pad8(f) -> None:
 def read_store(path, verify: bool = False) -> Dict[str, np.ndarray]:
     """Read a VRAG1 file -> {section: array} (zero-copy views over mmap)."""
     path = Path(path)
+    if path.stat().st_size < 16:
+        raise ValueError(f"{path} is empty or truncated (not a VRAG1 store)")
     with open(path, "rb") as f:
         mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
     buf = np.frombuffer(mm, dtype=np.uint8)
