@@ -24,6 +24,9 @@ def enable_compilation_cache(path: str | None = None) -> bool:
 
         cache_dir = path or os.environ.get(
             "VISUALRAG_JAX_CACHE", os.path.expanduser("~/.cache/visual_rag_tpu_jax"))
+        # per-backend subdirs: cpu executables cached from another process's
+        # feature detection trip XLA's machine-mismatch warnings otherwise
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
