@@ -288,11 +288,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--num-shards", type=int, default=1,
                         help="shard the corpus over N mesh devices "
                              "(distributed top-k merge; BASELINE config 5)")
+    parser.add_argument("--residency", choices=("device", "host"), default=None,
+                        help="force all stores into HBM or host memory before "
+                             "evaluation (reference --ensure-in-ram)")
     args = parser.parse_args(argv)
 
     from visual_rag_tpu.models.embedder import VisualEmbedder
 
-    embedder = VisualEmbedder(args.model)
+    # collection-dtype autodetect -> query output dtype (reference
+    # run_qdrant_beir.py:445-477,1531-1561: fp16 collections get fp16 queries)
+    out_dtype = np.float16 if args.storage_dtype == "float16" else np.float32
+    embedder = VisualEmbedder(args.model, output_dtype=out_dtype)
     index_dir = Path(args.index_dir) / args.collection
     out_dir = Path(args.output_dir) / args.collection
     if args.resume and (index_dir / "schema.json").exists():
@@ -317,6 +323,15 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.evaluate:
         index = builder.seal()
+        if args.residency:
+            from visual_rag_tpu.index.admin import (
+                ensure_collection_all_on_device,
+                ensure_collection_all_on_host,
+            )
+
+            index = (ensure_collection_all_on_device(index)
+                     if args.residency == "device"
+                     else ensure_collection_all_on_host(index))
         if args.num_shards > 1:
             from visual_rag_tpu.parallel import ShardedEngine, ShardedIndex, make_mesh
 
