@@ -97,6 +97,30 @@ int64_t vrs_pack_aligned(const float* src, const int32_t* lengths, int32_t n_doc
   return pos;
 }
 
+// Per-DOC symmetric int8 quantization over the aligned ragged layout:
+// scale_i = max|doc_i rows| / 127 (doc-constant scales commute with the
+// MaxSim row-max + query-sum, so kernels apply them once per candidate).
+void vrs_quantize_per_doc(const float* flat, const int64_t* offsets,
+                          const int32_t* lengths, int32_t n_docs, int32_t dim,
+                          int8_t* q_out, float* scales_out) {
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int32_t i = 0; i < n_docs; i++) {
+    const float* block = flat + offsets[i] * dim;
+    int64_t n = (int64_t)lengths[i] * dim;
+    float m = 0.0f;
+    for (int64_t j = 0; j < n; j++) m = std::max(m, std::fabs(block[j]));
+    float scale = m > 0.0f ? m / 127.0f : 1.0f;
+    scales_out[i] = scale;
+    float inv = 1.0f / scale;
+    int8_t* out = q_out + offsets[i] * dim;
+    for (int64_t j = 0; j < n; j++) {
+      float v = std::nearbyint(block[j] * inv);
+      v = std::max(-127.0f, std::min(127.0f, v));
+      out[j] = (int8_t)v;
+    }
+  }
+}
+
 // Per-row symmetric int8 quantization: scale = max|row|/127.
 void vrs_quantize_int8(const float* src, int64_t rows, int32_t dim, int8_t* q_out,
                        float* scales_out) {

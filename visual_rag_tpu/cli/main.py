@@ -189,10 +189,11 @@ def cmd_search(args) -> int:
         year=args.year, source=args.source, district=args.district,
         filename=args.filename, has_text=args.has_text)
     t0 = time.time()
-    results = engine.search_embedded(
-        q, mode=args.mode, top_k=args.top_k, prefetch_k=args.prefetch_k,
+    # fused batch plan with B=1: one device dispatch instead of one per stage
+    results = engine.search_embedded_batch(
+        [q], mode=args.mode, top_k=args.top_k, prefetch_k=args.prefetch_k,
         stage1_mode=args.stage1_mode, stage1_k=args.stage1_k,
-        stage2_k=args.stage2_k, filter_obj=filter_obj)
+        stage2_k=args.stage2_k, filter_obj=filter_obj)[0]
     dt = time.time() - t0
     if args.json:
         print(json.dumps({"query": args.query, "latency_ms": dt * 1000,

@@ -186,17 +186,9 @@ class RaggedMultiVectors:
         if storage_dtype == "int8":
             # PER-DOC scales (not per-row): a doc-constant scale commutes with
             # the row-max and query-sum, so kernels apply it once per
-            # candidate score instead of per token row.
-            scales_d = np.ones((len(mats),), dtype=np.float32)
-            q8 = np.zeros(flat.shape, dtype=np.int8)
-            for i in range(len(mats)):
-                off, ln = int(offsets[i]), int(lengths[i])
-                block = flat[off : off + ln]
-                absmax = float(np.abs(block).max()) if ln else 0.0
-                scales_d[i] = absmax / 127.0 if absmax > 0 else 1.0
-                q8[off : off + ln] = np.clip(
-                    np.rint(block / scales_d[i]), -127, 127).astype(np.int8)
-            values, scales = q8, scales_d
+            # candidate score instead of per token row. Runs in the native
+            # OpenMP runtime when available.
+            values, scales = native.quantize_per_doc(flat, offsets, lengths)
         else:
             values, scales = _pack_storage(flat, storage_dtype)
         return cls(

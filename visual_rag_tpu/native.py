@@ -69,6 +69,10 @@ def _load_lib():
     lib.vrs_quantize_int8.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.vrs_quantize_per_doc.restype = None
+    lib.vrs_quantize_per_doc.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
     lib.vrs_writer_open.restype = ctypes.c_void_p
     lib.vrs_writer_open.argtypes = [ctypes.c_char_p]
     lib.vrs_writer_add.restype = ctypes.c_int
@@ -158,6 +162,38 @@ def quantize_int8(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     absmax = np.abs(x).max(axis=-1)
     scales[...] = np.where(absmax > 0, absmax / 127.0, 1.0)
     q[...] = np.clip(np.rint(x / scales[..., None]), -127, 127).astype(np.int8)
+    return q, scales
+
+
+def quantize_per_doc(flat: np.ndarray, offsets: np.ndarray,
+                     lengths: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-DOC int8 quantization over the aligned ragged layout.
+
+    -> (codes [N, dim] int8, scales [n_docs] f32); alignment-gap rows quantize
+    to 0 under any scale so they stay zeros.
+    """
+    flat = np.ascontiguousarray(flat, dtype=np.float32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    n_docs, dim = len(lengths), flat.shape[1]
+    q = np.zeros(flat.shape, dtype=np.int8)
+    scales = np.ones((n_docs,), dtype=np.float32)
+    lib = _load_lib()
+    if lib is not None and n_docs:
+        lib.vrs_quantize_per_doc(
+            flat.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+            n_docs, dim, q.ctypes.data, scales.ctypes.data)
+        return q, scales
+    # vectorized numpy fallback: scatter per-doc scales to rows, one-pass rint
+    if n_docs:
+        row_abs = np.abs(flat).max(axis=1)
+        row_scale = np.ones((flat.shape[0],), dtype=np.float32)
+        for i in range(n_docs):
+            o, ln = int(offsets[i]), int(lengths[i])
+            m = float(row_abs[o : o + ln].max()) if ln else 0.0
+            scales[i] = m / 127.0 if m > 0 else 1.0
+            row_scale[o : o + ln] = scales[i]
+        q[...] = np.clip(np.rint(flat / row_scale[:, None]), -127, 127).astype(np.int8)
     return q, scales
 
 

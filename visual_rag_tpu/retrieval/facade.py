@@ -66,12 +66,16 @@ class MultiVectorRetriever:
         stage2_k: Optional[int] = None,
         filter_obj: Optional[PayloadFilter] = None,
     ) -> List[Dict[str, Any]]:
-        """Embed the text and search (reference multi_vector.py:152-177)."""
+        """Embed the text and search (reference multi_vector.py:152-177).
+
+        Routed through the fused single-dispatch batch plan (B=1): the
+        unfused per-query path pays one device round trip per stage.
+        """
         q = self.embedder.embed_query(query_text)
-        return self.search_embedded(
-            q, mode=mode, top_k=top_k, prefetch_k=prefetch_k,
+        return self.engine.search_embedded_batch(
+            [q], mode=mode, top_k=top_k, prefetch_k=prefetch_k,
             stage1_mode=stage1_mode, stage1_k=stage1_k, stage2_k=stage2_k,
-            filter_obj=filter_obj)
+            filter_obj=filter_obj)[0]
 
     def search_embedded(self, query_embedding, **kwargs) -> List[Dict[str, Any]]:
         return self.engine.search_embedded(query_embedding, **kwargs)
