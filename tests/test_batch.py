@@ -85,3 +85,14 @@ class TestBatchMatchesSingle:
         engine, queries = setup
         res = engine.search_embedded_batch([queries[0]], mode="single_global", top_k=3)
         assert len(res) == 1 and len(res[0]) == 3
+
+
+class TestWarmup:
+    def test_warmup_compiles_plans(self, setup):
+        engine, queries = setup
+        secs = engine.warmup(modes=("two_stage", "single_global"),
+                             batch_sizes=(2,), n_query_tokens=8)
+        assert secs >= 0.0
+        # warmed plan serves immediately
+        res = engine.search_embedded_batch(queries[:2], mode="two_stage", top_k=3)
+        assert len(res) == 2

@@ -23,7 +23,7 @@ is intentionally NOT replicated; three_stage accepts stage1_k/stage2_k here.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -333,6 +333,32 @@ class RetrievalEngine:
             score_stage3=vals, score_final=vals,
             score_stage1=s1_at, score_stage2=s2_at,
         )
+
+    def warmup(
+        self,
+        modes: Sequence[str] = ("two_stage",),
+        batch_sizes: Sequence[int] = (1, 64),
+        n_query_tokens: int = 24,
+        **search_kwargs,
+    ) -> float:
+        """Pre-compile the fused plans for the given modes/batch shapes.
+
+        Serving processes call this at startup so the first real query never
+        pays a plan compile (minutes on remote-compile TPU backends). Returns
+        seconds spent.
+        """
+        import time
+
+        dim = next(iter(self.index.stores.values())).dim
+        rng = np.random.default_rng(0)
+        t0 = time.time()
+        for mode in modes:
+            for bs in batch_sizes:
+                qs = [rng.standard_normal((n_query_tokens, dim)).astype(np.float32)
+                      for _ in range(bs)]
+                self.search_embedded_batch(qs, mode=mode, top_k=10,
+                                           with_payload=False, **search_kwargs)
+        return time.time() - t0
 
     def _fused_arrays(self, name: str):
         """Store arrays in the layout the fused plans / shard bodies expect."""
