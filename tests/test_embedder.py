@@ -109,3 +109,21 @@ class TestEmbedder:
         emb = VisualEmbedder("vidore/colSmol-500M", config=cfg, output_dtype=np.float16)
         q = emb.embed_query("hello world")
         assert q.dtype == np.float16
+
+
+class TestQuerySorting:
+    def test_length_sort_bucketing_preserves_order(self):
+        cfg = ColVLMConfig.tiny()
+        emb_sorted = VisualEmbedder("vidore/colSmol-500M", config=cfg,
+                                    batch_size=2, sort_queries_by_length=True)
+        emb_plain = VisualEmbedder("vidore/colSmol-500M", config=cfg,
+                                   batch_size=2, sort_queries_by_length=False)
+        queries = ["one", "a much longer query with many words here",
+                   "two words", "medium length query text"]
+        a = emb_sorted.embed_queries(queries)
+        b = emb_plain.embed_queries(queries)
+        # results come back in INPUT order regardless of internal bucketing
+        # (reference visual_embedder.py:570-574 unsort)
+        for x, y in zip(a, b):
+            assert x.shape == y.shape
+            np.testing.assert_allclose(x, y, atol=1e-5)
