@@ -152,3 +152,41 @@ class TestPipelineEndToEnd:
         _, _, pipeline = tiny_pipeline
         names = pipeline.required_vector_names
         assert "initial" in names and "experimental_pooling" in names
+
+
+class TestStrategies:
+    @pytest.mark.parametrize("strategy", ["standard", "all"])
+    def test_strategy_vector_shapes(self, strategy):
+        cfg = ColVLMConfig.tiny()
+        embedder = VisualEmbedder("vidore/colSmol-500M", config=cfg, batch_size=2)
+        plan = experimental_vector_plan("colsmol")
+        vectors = {
+            "initial": VectorSpec("initial", "ragged", cfg.embed_dim),
+            "mean_pooling": VectorSpec("mean_pooling", "padded", cfg.embed_dim),
+            "global_pooling": VectorSpec("global_pooling", "single", cfg.embed_dim),
+            **{n: VectorSpec(n, "padded", cfg.embed_dim) for n in plan["names"]},
+        }
+        builder = IndexBuilder(CollectionSchema(vectors=vectors, storage_dtype="float32"))
+        pipe = ProcessingPipeline(embedder, builder, strategy=strategy)
+        rng = np.random.default_rng(0)
+        imgs = [(rng.random((150, 110, 3)) * 255).astype(np.uint8)]
+        stats = pipe.process_images(imgs, f"{strategy}.pdf")
+        assert stats.pages_processed == 1
+        idx = builder.seal()
+        init = idx.store("initial")
+        mp = idx.store("mean_pooling")
+        n_visual = 2 * 64  # one 512px tile + global tile
+        if strategy == "all":
+            # visual tokens only (reference pipeline strategy=pooling/all)
+            assert init.total_tokens == n_visual
+            assert int(np.asarray(mp.mask).sum()) == 2  # tile means
+        else:  # standard: ALL tokens incl. prompt; mean_pooling is [1, dim]
+            assert init.total_tokens > n_visual
+            assert int(np.asarray(mp.mask).sum()) == 1
+
+    def test_invalid_strategy_raises(self):
+        cfg = ColVLMConfig.tiny()
+        embedder = VisualEmbedder("vidore/colSmol-500M", config=cfg)
+        builder = IndexBuilder(CollectionSchema.standard(dim=cfg.embed_dim))
+        with pytest.raises(ValueError, match="strategy"):
+            ProcessingPipeline(embedder, builder, strategy="warp")
