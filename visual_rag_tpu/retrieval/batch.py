@@ -178,7 +178,12 @@ def topk_batch(scores: jnp.ndarray, k: int, doc_mask: Optional[jnp.ndarray] = No
 
 
 class BatchScorer:
-    """Batched scoring over one SealedIndex with per-store dequant caching."""
+    """Batched scoring over one SealedIndex with per-store kernel-layout caching.
+
+    The fused plans (retrieval/plans.py) are the production path; the
+    score_tokens/score_pooled/rerank methods here remain as the step-by-step
+    building blocks (used directly by tests and ad-hoc tooling).
+    """
 
     def __init__(self, index, compute_dtype: str = "float32", use_pallas: Optional[bool] = None):
         self.index = index
@@ -235,10 +240,21 @@ class BatchScorer:
                 store.values, store.mask, tokens, qmask, store.scales,
                 compute_dtype=self.compute_dtype)
         if isinstance(store, RaggedMultiVectors):
+            # chunk the full scan: B x D candidates in ONE rerank call would
+            # exceed the kernel's SMEM scalar-prefetch budget on large corpora
             d = store.num_docs
-            all_docs = jnp.broadcast_to(
-                jnp.arange(d, dtype=jnp.int32)[None, :], (tokens.shape[0], d))
-            return self.rerank(name, tokens, qmask, all_docs)
+            b = tokens.shape[0]
+            chunk = min(512, d)
+            n_chunks = -(-d // chunk)
+            idx = jnp.arange(n_chunks * chunk, dtype=jnp.int32)
+            idx = jnp.where(idx < d, idx, -1)
+            outs = [
+                self.rerank(name, tokens, qmask,
+                            jnp.broadcast_to(idx[c * chunk:(c + 1) * chunk][None, :],
+                                             (b, chunk)))
+                for c in range(n_chunks)
+            ]
+            return jnp.concatenate(outs, axis=1)[:, :d]
         raise ValueError(f"score_tokens unsupported for store {name!r}")
 
     def score_pooled(self, name: str, pooled) -> jnp.ndarray:
