@@ -127,3 +127,62 @@ class TestQuerySorting:
         for x, y in zip(a, b):
             assert x.shape == y.shape
             np.testing.assert_allclose(x, y, atol=1e-5)
+
+
+class TestPixelShuffle:
+    def _cfg(self):
+        import dataclasses
+
+        tiny = ColVLMConfig.tiny()
+        # shuffle=2: each tile = 16x16 = 256 real patches -> 64 tokens
+        return dataclasses.replace(
+            tiny, vision=dataclasses.replace(tiny.vision, pixel_shuffle=2,
+                                             max_patches=2048))
+
+    def test_tile_patches_and_token_counts(self):
+        emb = VisualEmbedder("vidore/colSmol-500M", config=self._cfg(), batch_size=2)
+        img = np.random.default_rng(0).random((300, 220, 3)).astype(np.float32)
+        proc = emb.processor.process_images([img])
+        # 1x1 tile grid + global = 2 tiles x 256 patches
+        assert proc.patches.shape[1] == 2 * 256
+        assert proc.window_ids is not None
+        assert proc.window_ids[0, :256].max() == 0  # tile 0 segment
+        assert proc.window_ids[0, 256:].min() == 1  # global tile segment
+        info = proc.token_infos[0]
+        assert info["num_visual_tokens"] == 2 * 64  # post-shuffle tokens
+        embs, infos = emb.embed_images([img], return_token_info=True)
+        visual = emb.extract_visual_embedding(embs[0], infos[0])
+        assert visual.shape == (128, emb.cfg.embed_dim)
+        mp = emb.mean_pool_visual_embedding(visual, infos[0])
+        assert mp.shape == (2, emb.cfg.embed_dim)  # tile means unchanged
+
+    def test_tiles_are_isolated_through_the_tower(self):
+        import jax
+        import jax.numpy as jnp
+
+        from visual_rag_tpu.models.colvlm import ColVLM
+
+        cfg = self._cfg()
+        model = ColVLM(cfg)
+        rng = np.random.default_rng(1)
+        n = 2 * 256
+        patches = rng.standard_normal((1, n, cfg.vision.patch_pixels)).astype(np.float32)
+        pmask = np.ones((1, n), bool)
+        wids = np.repeat(np.arange(2, dtype=np.int32), 256)[None, :]
+        params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32),
+                            jnp.ones((1, 4), bool), jnp.asarray(patches),
+                            jnp.asarray(pmask), jnp.asarray(wids))
+
+        def enc(p):
+            return np.asarray(model.apply(
+                params, jnp.asarray(p), jnp.asarray(pmask), jnp.asarray(wids),
+                method=ColVLM.encode_images), np.float32)
+
+        base = enc(patches)
+        assert base.shape == (1, 2 * 64, cfg.text.hidden)  # 64 tokens per tile
+        pert = patches.copy()
+        pert[0, 10] += 3.0  # tile 0 patch
+        out = enc(pert)
+        # tile 1's 64 tokens must be bit-unchanged (per-tile attention)
+        np.testing.assert_allclose(out[0, 64:], base[0, 64:], atol=1e-5)
+        assert np.abs(out[0, :64] - base[0, :64]).max() > 1e-4

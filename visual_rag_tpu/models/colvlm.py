@@ -40,9 +40,14 @@ class VisionConfig:
     max_patches: int = 1024
     # Qwen2.5-VL-style window attention: tokens attend within window_side x
     # window_side patch windows except at full_attn_layers (0 = full attention
-    # everywhere, the SigLIP/ColSmol/ColPali behavior)
+    # everywhere, the SigLIP/ColPali behavior)
     window_side: int = 0
     full_attn_layers: tuple = ()
+    # SmolVLM/ColSmol pixel shuffle: each tile is (8*s)^2 real patches through
+    # the ViT, then s x s spatial blocks fold into channels -> 64 tokens of
+    # hidden*s^2 per tile (1 = no shuffle). Tiles attend independently via the
+    # processor-supplied per-tile segment ids.
+    pixel_shuffle: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,7 +79,7 @@ class ColVLMConfig:
         """ColSmol-500M shape (SmolVLM2-500M backbone: SigLIP-B/16 + 500M LM)."""
         return cls(
             vision=VisionConfig(hidden=768, layers=12, heads=12, patch_pixels=3 * 16 * 16,
-                                max_patches=2048),
+                                max_patches=18432, pixel_shuffle=4),
             text=TextConfig(hidden=960, layers=32, heads=15, kv_heads=5,
                             mlp_hidden=2560, vocab=49280),
             spatial_merge=1,
@@ -243,8 +248,15 @@ class VisionTower(nn.Module):
         pos = self.param(
             "pos_embed", nn.initializers.normal(0.02), (self.cfg.max_patches, self.cfg.hidden)
         )
-        x = x + pos[:n][None, :, :].astype(self.dtype)
-        windowed = self.cfg.window_side > 0 and window_ids is not None
+        if self.cfg.pixel_shuffle > 1:
+            # per-tile position table: SigLIP positions index within each
+            # (8*s)^2-patch tile, not across the page's tile sequence
+            tile_patches = (8 * self.cfg.pixel_shuffle) ** 2
+            pos_idx = jnp.arange(n) % tile_patches
+            x = x + pos[pos_idx][None, :, :].astype(self.dtype)
+        else:
+            x = x + pos[:n][None, :, :].astype(self.dtype)
+        windowed = window_ids is not None  # tiles or windows, per the processor
         for i in range(self.cfg.layers):
             seg = None
             if windowed and i not in self.cfg.full_attn_layers:
@@ -311,6 +323,20 @@ class ColVLM(nn.Module):
         feats = self.vision(patches, patch_mask, window_ids)
         if self.cfg.spatial_merge > 1:
             return self.merger(feats)
+        sps = self.cfg.vision.pixel_shuffle
+        if sps > 1:
+            # SmolVLM pixel shuffle, HF op order for weight compatibility:
+            # [tiles, side, side, H] -> fold s x s spatial blocks into channels
+            b, n, h = feats.shape
+            side = 8 * sps
+            tile_patches = side * side
+            tiles = n // tile_patches
+            x = feats.reshape(b * tiles, side, side, h)
+            x = x.reshape(b * tiles, side, side // sps, h * sps)
+            x = jnp.transpose(x, (0, 2, 1, 3))
+            x = x.reshape(b * tiles, side // sps, side // sps, h * sps * sps)
+            x = jnp.transpose(x, (0, 2, 1, 3))
+            feats = x.reshape(b, tiles * 64, h * sps * sps)
         return self.connector(feats)
 
     def _lm(self, embeds, mask):

@@ -95,13 +95,16 @@ class VisualEmbedder:
                         len(report["matched"]))
         self._params = params
         self._seed = seed
-        merge2 = self.cfg.spatial_merge * self.cfg.spatial_merge
+        # patches per post-processing visual token: spatial merge (colqwen)
+        # or pixel shuffle (colsmol)
+        ratio = max(self.cfg.spatial_merge ** 2, self.cfg.vision.pixel_shuffle ** 2, 1)
         self.processor = ImageProcessor(
             backend=self.backend,
             image_token_id=self.cfg.image_token_id,
             patch_pixels=self.cfg.vision.patch_pixels,
             vocab=self.cfg.text.vocab,
-            max_visual_tokens=self.cfg.vision.max_patches // max(merge2, 1),
+            max_visual_tokens=self.cfg.vision.max_patches // ratio,
+            pixel_shuffle=self.cfg.vision.pixel_shuffle,
         )
         if sort_queries_by_length is None:
             sort_queries_by_length = os.environ.get(

@@ -117,11 +117,13 @@ class ImageProcessor:
     """Backend-aware image -> patches + token-info processor."""
 
     def __init__(self, backend: str, image_token_id: int, patch_pixels: int,
-                 vocab: int = 49280, max_visual_tokens: int = 768):
+                 vocab: int = 49280, max_visual_tokens: int = 768,
+                 pixel_shuffle: int = 1):
         self.backend = backend
         self.image_token_id = int(image_token_id)
         self.patch_pixels = int(patch_pixels)
         self.max_visual_tokens = int(max_visual_tokens)
+        self.pixel_shuffle = int(pixel_shuffle)
         self.tokenizer = HashTokenizer(vocab=vocab)
         # side length of the square pixel patch each token sees
         side = int(round((patch_pixels / 3) ** 0.5))
@@ -131,9 +133,11 @@ class ImageProcessor:
         w, h = image.shape[1], image.shape[0]
         _, _, cols, rows = compute_tile_grid(w, h)
         num_tiles = rows * cols + 1  # + global tile
-        n_tokens = num_tiles * PATCHES_PER_TILE
-        # Each tile is resized so it yields an 8x8 grid of patch_side patches.
-        grid_side = int(PATCHES_PER_TILE ** 0.5)  # 8
+        n_tokens = num_tiles * PATCHES_PER_TILE  # post-pixel-shuffle tokens
+        # With pixel_shuffle s, each tile feeds (8*s)^2 real patches through
+        # the ViT (SmolVLM: s=4 -> 32x32 patches of a full-res 512px tile);
+        # without it, tiles are encoded as 8x8 coarse patches directly.
+        grid_side = int(PATCHES_PER_TILE ** 0.5) * self.pixel_shuffle
         tile_px = grid_side * self.patch_side
         canvas = _resize_nn(image, rows * tile_px, cols * tile_px)
         patches = []
@@ -150,6 +154,11 @@ class ImageProcessor:
             "grid_t": None, "grid_h": None, "grid_w": None,
             "grid_h_eff": None, "grid_w_eff": None,
         }
+        if self.pixel_shuffle > 1:
+            # tiles attend independently (SigLIP runs per tile): segment ids
+            tile_patches = grid_side * grid_side
+            info["_window_ids"] = np.repeat(
+                np.arange(num_tiles, dtype=np.int32), tile_patches)
         return np.concatenate(patches, axis=0), info
 
     def _image_tokens_colpali(self, image: np.ndarray):
@@ -222,9 +231,13 @@ class ImageProcessor:
         # (per-shape recompiles dominated ingest time on TPU otherwise).
         # The bucket is capped at the vision tower's patch capacity.
         n_act = max(p.shape[0] for p, _ in per_image)
-        merge2 = 4 if self.backend in ("colqwen2.5", "colqwen2") else 1
-        patch_capacity = self.max_visual_tokens * merge2
-        n_patches = max(n_act, min(_round_up(n_act, 128), patch_capacity))
+        if self.backend in ("colqwen2.5", "colqwen2"):
+            ratio = 4  # 2x2 spatial merge: patches per visual token
+        else:
+            ratio = self.pixel_shuffle * self.pixel_shuffle
+        patch_capacity = self.max_visual_tokens * ratio
+        bucket = 128 if self.pixel_shuffle <= 1 else (8 * self.pixel_shuffle) ** 2
+        n_patches = max(n_act, min(_round_up(n_act, bucket), patch_capacity))
         prompt_ids = self.tokenizer.encode(prompt)
         b = len(images)
         # image tokens after merge (colqwen merges 4 patches -> 1 token)
@@ -234,8 +247,8 @@ class ImageProcessor:
         patch_mask = np.zeros((b, n_patches), dtype=bool)
         input_ids = np.zeros((b, seq), dtype=np.int32)
         attn_mask = np.zeros((b, seq), dtype=bool)
-        is_qwen = self.backend in ("colqwen2.5", "colqwen2")
-        window_ids = np.full((b, n_patches), -1, dtype=np.int32) if is_qwen else None
+        has_segments = any(info.get("_window_ids") is not None for _, info in per_image)
+        window_ids = np.full((b, n_patches), -1, dtype=np.int32) if has_segments else None
         infos = []
         for i, (p, info) in enumerate(per_image):
             patches[i, : p.shape[0]] = p
