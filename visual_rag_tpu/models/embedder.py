@@ -32,6 +32,7 @@ import numpy as np
 
 from visual_rag_tpu.models.colvlm import ColVLM, ColVLMConfig
 from visual_rag_tpu.models.processors import ImageProcessor
+from visual_rag_tpu.models.tokenizer import load_tokenizer
 from visual_rag_tpu.ops import pooling as pool_ops
 
 logger = logging.getLogger(__name__)
@@ -75,6 +76,7 @@ class VisualEmbedder:
         seed: int = 0,
         sort_queries_by_length: Optional[bool] = None,
         nan_log_dir: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,  # local tokenizer.json / ckpt dir
     ):
         self.model_name = model_name
         self.backend = detect_backend(model_name)
@@ -98,13 +100,19 @@ class VisualEmbedder:
         # patches per post-processing visual token: spatial merge (colqwen)
         # or pixel shuffle (colsmol)
         ratio = max(self.cfg.spatial_merge ** 2, self.cfg.vision.pixel_shuffle ** 2, 1)
+        tokenizer_path = tokenizer_path or os.environ.get("VISUALRAG_TOKENIZER")
+        tokenizer = load_tokenizer(tokenizer_path, vocab=self.cfg.text.vocab)
+        # a real tokenizer knows the checkpoint's actual <image> placeholder id
+        image_token_id = tokenizer.token_to_id("<image>") or self.cfg.image_token_id
+        self.tokenizer = tokenizer
         self.processor = ImageProcessor(
             backend=self.backend,
-            image_token_id=self.cfg.image_token_id,
+            image_token_id=image_token_id,
             patch_pixels=self.cfg.vision.patch_pixels,
             vocab=self.cfg.text.vocab,
             max_visual_tokens=self.cfg.vision.max_patches // ratio,
             pixel_shuffle=self.cfg.vision.pixel_shuffle,
+            tokenizer=tokenizer,
         )
         if sort_queries_by_length is None:
             sort_queries_by_length = os.environ.get(
@@ -173,8 +181,10 @@ class VisualEmbedder:
         for i in range(len(texts)):
             keep = mask[i]
             if not include_special_tokens:
-                # reference heuristic: real tokens are attention-masked AND id>=4
-                keep = keep & (ids[i] >= 4)
+                # reference heuristic (visual_embedder.py:623): real tokens are
+                # attention-masked AND non-special; the tokenizer decides which
+                # ids are special (>=4 hash heuristic / HF added-token table)
+                keep = keep & ~self.tokenizer.special_mask(ids[i])
             out.append(emb[i][keep].astype(self.output_dtype))
         return out
 

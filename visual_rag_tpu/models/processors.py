@@ -19,10 +19,11 @@ tokens); swap in an HF tokenizer for checkpoint-faithful inference.
 from __future__ import annotations
 
 import dataclasses
-import hashlib
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from .tokenizer import HashTokenizer, HFTokenizer, load_tokenizer  # noqa: F401
 
 PATCHES_PER_TILE = 64  # ColSmol contract (reference pooling.py:35-98)
 
@@ -36,31 +37,8 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-class HashTokenizer:
-    """Deterministic word-level tokenizer: ids in [4, vocab) (0-3 reserved)."""
-
-    def __init__(self, vocab: int = 49280, pad_id: int = 0, bos_id: int = 1):
-        self.vocab = int(vocab)
-        self.pad_id = pad_id
-        self.bos_id = bos_id
-
-    def encode(self, text: str) -> List[int]:
-        ids = [self.bos_id]
-        for word in text.lower().split():
-            h = int.from_bytes(hashlib.sha1(word.encode()).digest()[:4], "little")
-            ids.append(4 + h % (self.vocab - 4))
-        return ids
-
-    def batch_encode(self, texts: Sequence[str], max_len: Optional[int] = None):
-        encoded = [self.encode(t) for t in texts]
-        max_len = max_len or max(len(e) for e in encoded)
-        ids = np.full((len(texts), max_len), self.pad_id, dtype=np.int32)
-        mask = np.zeros((len(texts), max_len), dtype=bool)
-        for i, e in enumerate(encoded):
-            e = e[:max_len]
-            ids[i, : len(e)] = e
-            mask[i, : len(e)] = True
-        return ids, mask
+# HashTokenizer lives in tokenizer.py alongside the HF-file-backed
+# HFTokenizer; re-exported here for back-compat.
 
 
 # ---------------------------------------------------------------------------
@@ -118,13 +96,13 @@ class ImageProcessor:
 
     def __init__(self, backend: str, image_token_id: int, patch_pixels: int,
                  vocab: int = 49280, max_visual_tokens: int = 768,
-                 pixel_shuffle: int = 1):
+                 pixel_shuffle: int = 1, tokenizer=None):
         self.backend = backend
         self.image_token_id = int(image_token_id)
         self.patch_pixels = int(patch_pixels)
         self.max_visual_tokens = int(max_visual_tokens)
         self.pixel_shuffle = int(pixel_shuffle)
-        self.tokenizer = HashTokenizer(vocab=vocab)
+        self.tokenizer = tokenizer if tokenizer is not None else HashTokenizer(vocab=vocab)
         # side length of the square pixel patch each token sees
         side = int(round((patch_pixels / 3) ** 0.5))
         self.patch_side = max(side, 1)
