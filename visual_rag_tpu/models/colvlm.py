@@ -60,6 +60,11 @@ class TextConfig:
     vocab: int = 49280
     rope_theta: float = 100000.0
     max_seq: int = 4096
+    # Stack the decoder blocks into ONE nn.scan-ned block with [L, ...]
+    # params. Required for pipeline parallelism (the stage dim shards over
+    # the 'pp' mesh axis) and cuts compile time for deep stacks. Param tree
+    # shape differs from the per-layer layout, so it's opt-in.
+    scan_layers: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -214,6 +219,46 @@ class DecoderBlock(nn.Module):
         return h
 
 
+class ScannedDecoder(nn.Module):
+    """All decoder blocks as ONE nn.scan-ned block with [L, ...] params.
+
+    The leading (stage) param dim is what pipeline parallelism shards over
+    the 'pp' mesh axis (models/sharding.py) and what parallel/pipeline.py's
+    GPipe runner splits into per-stage chunks. Numerically identical to the
+    per-layer block list (same DecoderBlock body).
+    """
+
+    cfg: TextConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, h, mask, positions):
+        body = _DecoderScanBody
+        if self.remat:
+            body = nn.remat(body, static_argnums=())
+        blocks = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.cfg.layers,
+            in_axes=(nn.broadcast, nn.broadcast),
+        )(self.cfg, dtype=self.dtype, name="layers_scan")
+        h, _ = blocks(h, mask, positions)
+        return h
+
+
+class _DecoderScanBody(nn.Module):
+    cfg: TextConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, h, mask, positions):
+        h = DecoderBlock(self.cfg, dtype=self.dtype, name="block")(
+            h, mask, positions)
+        return h, None
+
+
 class ViTBlock(nn.Module):
     cfg: VisionConfig
     dtype: jnp.dtype = jnp.bfloat16
@@ -310,10 +355,16 @@ class ColVLM(nn.Module):
         self.tok_embed = nn.Embed(
             self.cfg.text.vocab, self.cfg.text.hidden, dtype=dtype,
             embedding_init=nn.initializers.normal(0.02))
-        self.blocks = [
-            decoder_cls(self.cfg.text, dtype=dtype, name=f"layer_{i}")
-            for i in range(self.cfg.text.layers)
-        ]
+        if self.cfg.text.scan_layers:
+            self.scan_blocks = ScannedDecoder(
+                self.cfg.text, dtype=dtype, remat=self.cfg.remat,
+                name="scan_blocks")
+            self.blocks = None
+        else:
+            self.blocks = [
+                decoder_cls(self.cfg.text, dtype=dtype, name=f"layer_{i}")
+                for i in range(self.cfg.text.layers)
+            ]
         self.final_norm = RMSNorm()
         self.proj = nn.Dense(self.cfg.embed_dim, use_bias=False, dtype=dtype,
                              name="embedding_proj")
@@ -343,8 +394,11 @@ class ColVLM(nn.Module):
         positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
         positions = jnp.maximum(positions, 0)
         h = embeds
-        for blk in self.blocks:
-            h = blk(h, mask, positions)
+        if self.cfg.text.scan_layers:
+            h = self.scan_blocks(h, mask, positions)
+        else:
+            for blk in self.blocks:
+                h = blk(h, mask, positions)
         return self.final_norm(h)
 
     def _project(self, h, mask):

@@ -155,6 +155,20 @@ def convert_state_dict(
             node = node.setdefault(part, {})
         node[path[-1]] = value
         matched.append(hf_key)
+    if cfg.text.scan_layers:
+        # scanned decoder layout: stack layer_{i} subtrees into the single
+        # nn.scan param tree (leaves [L, ...]) under scan_blocks/layers_scan
+        per_layer = [params.pop(f"layer_{i}", None)
+                     for i in range(cfg.text.layers)]
+        if all(p is not None for p in per_layer):
+            def stack(nodes):
+                if isinstance(nodes[0], dict):
+                    return {k: stack([n[k] for n in nodes]) for k in nodes[0]}
+                return np.stack(nodes)
+
+            params["scan_blocks"] = {"layers_scan": {"block": stack(per_layer)}}
+        else:
+            missing.append("scan_blocks (incomplete per-layer decoder keys)")
     unused = sorted(normalized.keys())
     report = {"matched": matched, "missing": missing, "unused": unused}
     if missing:

@@ -21,6 +21,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _spec_for_path(path: str, ndim: int) -> P:
+    # nn.scan-stacked decoder params carry a leading [L] stage dim that
+    # pipeline parallelism shards over 'pp'; the per-layer rule applies to
+    # the remaining dims.
+    if "layers_scan" in path:
+        inner = _spec_for_path(path.replace("layers_scan/", ""), ndim - 1)
+        return P("pp", *tuple(inner))
     if ndim == 1:  # biases, norm scales
         return P()
     leaf = path.split("/")[-2] if "/" in path else path
