@@ -65,6 +65,12 @@ class TextConfig:
     # the 'pp' mesh axis) and cuts compile time for deep stacks. Param tree
     # shape differs from the per-layer layout, so it's opt-in.
     scan_layers: bool = False
+    # Mixture-of-experts FFN (0 = dense SwiGLU). Experts shard over the
+    # 'ep' mesh axis; routing is GShard-style dense dispatch (static-shape
+    # einsums on the MXU, no ragged gathers).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
 
 @dataclasses.dataclass(frozen=True)
@@ -202,6 +208,78 @@ class SwiGLU(nn.Module):
         )
 
 
+class MoEFFN(nn.Module):
+    """Mixture-of-experts SwiGLU with GShard-style dense dispatch.
+
+    TPU-first formulation: routing is expressed as static-shape one-hot
+    dispatch/combine einsums (MXU work, no ragged gather/scatter), so the
+    expert dim E shards cleanly over the 'ep' mesh axis and XLA lowers the
+    token exchange to all-to-alls over ICI. Capacity C per expert is
+    ``ceil(top_k * S * capacity_factor / E)``; overflow tokens fall through
+    the residual (their combine weight is zero). A Switch-style load-balance
+    loss is exposed via ``self.sow('losses', 'moe_aux', ...)``.
+    """
+
+    cfg: TextConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        E = self.cfg.moe_experts
+        k_choices = min(self.cfg.moe_top_k, E)
+        b, s, h = x.shape
+        cap = max(1, int(-(-k_choices * s * self.cfg.moe_capacity_factor // E)))
+
+        logits = nn.Dense(E, use_bias=False, dtype=jnp.float32,
+                          name="router")(x.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)  # [b, s, E]
+
+        dispatch = jnp.zeros((b, s, E, cap), jnp.float32)
+        combine = jnp.zeros((b, s, E, cap), jnp.float32)
+        remaining = probs
+        count = jnp.zeros((b, 1, E), jnp.float32)  # filled slots per expert
+        gate_sum = jnp.zeros((b, s), jnp.float32)
+        top1_mask = None
+        for _ in range(k_choices):
+            idx = jnp.argmax(remaining, axis=-1)            # [b, s]
+            m = jax.nn.one_hot(idx, E, dtype=jnp.float32)    # [b, s, E]
+            if top1_mask is None:
+                top1_mask = m
+            gate = jnp.sum(probs * m, axis=-1)               # [b, s]
+            pos = jnp.cumsum(m, axis=1) - 1 + count          # slot per token
+            keep = (pos < cap) * m
+            slot = jax.nn.one_hot(
+                pos.astype(jnp.int32), cap, dtype=jnp.float32)  # [b, s, E, cap]
+            dispatch = dispatch + keep[..., None] * slot
+            combine = combine + (gate[..., None] * keep)[..., None] * slot
+            gate_sum = gate_sum + gate * jnp.sum(keep, axis=-1)
+            count = count + jnp.sum(m, axis=1, keepdims=True)
+            remaining = remaining * (1.0 - m)
+        # renormalize kept gates so routed mass sums to 1 per token
+        combine = combine / jnp.maximum(gate_sum[..., None, None], 1e-9)
+
+        # Switch load-balance loss: E * sum_e f_e * p_e (minimized at uniform)
+        frac = jnp.mean(top1_mask, axis=(0, 1))              # tokens per expert
+        prob = jnp.mean(probs, axis=(0, 1))                  # router mass
+        self.sow("losses", "moe_aux", E * jnp.sum(frac * prob))
+
+        gate_k = self.param(
+            "gate_kernel", nn.initializers.lecun_normal(),
+            (E, h, self.cfg.mlp_hidden), self.dtype)
+        up_k = self.param(
+            "up_kernel", nn.initializers.lecun_normal(),
+            (E, h, self.cfg.mlp_hidden), self.dtype)
+        down_k = self.param(
+            "down_kernel", nn.initializers.lecun_normal(),
+            (E, self.cfg.mlp_hidden, h), self.dtype)
+
+        xin = jnp.einsum("bsec,bsh->ebch", dispatch.astype(self.dtype), x)
+        act = nn.silu(jnp.einsum("ebch,ehm->ebcm", xin, gate_k))
+        act = act * jnp.einsum("ebch,ehm->ebcm", xin, up_k)
+        out = jnp.einsum("ebcm,emh->ebch", act, down_k)
+        return jnp.einsum("bsec,ebch->bsh", combine.astype(self.dtype), out)
+
+
 class DecoderBlock(nn.Module):
     cfg: TextConfig
     dtype: jnp.dtype = jnp.bfloat16
@@ -213,9 +291,11 @@ class DecoderBlock(nn.Module):
             rope_theta=self.cfg.rope_theta, causal=True, dtype=self.dtype,
             name="attn",
         )(RMSNorm(name="ln1")(x), mask, positions)
-        h = h + SwiGLU(self.cfg.mlp_hidden, dtype=self.dtype, name="mlp")(
-            RMSNorm(name="ln2")(h)
-        )
+        if self.cfg.moe_experts > 0:
+            ffn = MoEFFN(self.cfg, dtype=self.dtype, name="moe")
+        else:
+            ffn = SwiGLU(self.cfg.mlp_hidden, dtype=self.dtype, name="mlp")
+        h = h + ffn(RMSNorm(name="ln2")(h))
         return h
 
 

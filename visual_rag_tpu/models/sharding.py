@@ -27,6 +27,11 @@ def _spec_for_path(path: str, ndim: int) -> P:
     if "layers_scan" in path:
         inner = _spec_for_path(path.replace("layers_scan/", ""), ndim - 1)
         return P("pp", *tuple(inner))
+    last = path.split("/")[-1]
+    if last in ("gate_kernel", "up_kernel"):  # MoE experts [E, h, mlp]
+        return P("ep", None, "tp")
+    if last == "down_kernel":  # [E, mlp, h]
+        return P("ep", "tp", None)
     if ndim == 1:  # biases, norm scales
         return P()
     leaf = path.split("/")[-2] if "/" in path else path

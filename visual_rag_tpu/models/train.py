@@ -77,13 +77,15 @@ class Trainer:
         """Initialize parameters directly into their mesh shardings."""
 
         def init_fn(rng):
-            return self.model.init(
+            variables = self.model.init(
                 rng,
                 example_batch["page_ids"][:1],
                 example_batch["page_mask"][:1],
                 example_batch["patches"][:1],
                 example_batch["patch_mask"][:1],
             )
+            # keep only trainable params ('losses' holds MoE sown aux terms)
+            return {"params": variables["params"]}
 
         abstract = jax.eval_shape(init_fn, rng)
         shardings = param_shardings(self.mesh, abstract)
@@ -93,23 +95,45 @@ class Trainer:
         return TrainState(params=params, opt_state=opt_state, step=0)
 
     def _loss_fn(self, params, batch):
-        q_emb = self.model.apply(params, batch["query_ids"], batch["query_mask"])
-        p_emb = self.model.apply(
-            params, batch["page_ids"], batch["page_mask"],
-            batch["patches"], batch["patch_mask"])
-        return colbert_infonce_loss(
+        moe = self.cfg.text.moe_experts > 0
+        aux = jnp.zeros((), jnp.float32)
+        if moe:  # collect MoEFFN's sown Switch load-balance terms
+            q_emb, v1 = self.model.apply(
+                params, batch["query_ids"], batch["query_mask"],
+                mutable=["losses"])
+            p_emb, v2 = self.model.apply(
+                params, batch["page_ids"], batch["page_mask"],
+                batch["patches"], batch["patch_mask"], mutable=["losses"])
+            for v in (v1, v2):
+                for leaf in jax.tree.leaves(v.get("losses", {})):
+                    aux = aux + jnp.sum(leaf)
+        else:
+            q_emb = self.model.apply(params, batch["query_ids"], batch["query_mask"])
+            p_emb = self.model.apply(
+                params, batch["page_ids"], batch["page_mask"],
+                batch["patches"], batch["patch_mask"])
+        loss, metrics = colbert_infonce_loss(
             q_emb, batch["query_mask"], p_emb, batch["page_mask"],
             temperature=self.temperature)
+        if moe:
+            metrics = dict(metrics, moe_aux=aux)
+            loss = loss + 0.01 * aux
+        return loss, metrics
 
     def _batch_spec(self, x):
-        """dp over batch; sp (if present in the mesh) over the sequence dim."""
+        """dp over batch; sp (if present in the mesh) over the sequence dim.
+
+        Axes absent from the mesh are dropped (a pp/ep/tp-only mesh gets a
+        replicated batch instead of a crash).
+        """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        has_sp = "sp" in self.mesh.axis_names
-        if x.ndim >= 2 and has_sp:
-            spec = P("dp", "sp", *([None] * (x.ndim - 2)))
+        dp = "dp" if "dp" in self.mesh.axis_names else None
+        sp = "sp" if "sp" in self.mesh.axis_names else None
+        if x.ndim >= 2:
+            spec = P(dp, sp, *([None] * (x.ndim - 2)))
         else:
-            spec = P("dp", *([None] * (x.ndim - 1)))
+            spec = P(dp)
         return NamedSharding(self.mesh, spec)
 
     def make_train_step(self):
