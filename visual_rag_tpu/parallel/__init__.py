@@ -11,3 +11,4 @@ single-device engine (same candidate sets, same tie-breaking by doc id).
 from visual_rag_tpu.parallel.mesh import make_mesh  # noqa: F401
 from visual_rag_tpu.parallel.sharded import ShardedIndex, ShardedEngine  # noqa: F401
 from visual_rag_tpu.parallel.pipeline import gpipe_apply, pipelined_decoder  # noqa: F401
+from visual_rag_tpu.parallel.ring_attention import ring_attention  # noqa: F401
