@@ -73,3 +73,55 @@ class TestRingAttention:
         mesh = make_mesh((4,), ("sp",))
         out = ring_attention(q, k, v, mask, mesh)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestModelIntegration:
+    def test_colvlm_ring_matches_dense(self):
+        """ring_axis='sp' under an ambient mesh gives the same embeddings as
+        the default path (same weights, valid tokens compared)."""
+        import dataclasses
+
+        from jax.sharding import set_mesh
+
+        from visual_rag_tpu.models.colvlm import ColVLM, ColVLMConfig
+
+        tiny = ColVLMConfig.tiny()
+        base = dataclasses.replace(tiny, dtype="float32")
+        ring = dataclasses.replace(
+            base, text=dataclasses.replace(base.text, ring_axis="sp"))
+        ids = jnp.arange(2 * 16, dtype=jnp.int32).reshape(2, 16) % 40 + 4
+        mask = jnp.asarray(np.array([[True] * 16, [True] * 12 + [False] * 4]))
+        m_base, m_ring = ColVLM(base), ColVLM(ring)
+        params = m_base.init(jax.random.PRNGKey(0), ids, mask)
+        ref = np.asarray(m_base.apply(params, ids, mask))
+        mesh = make_mesh((2, 4), ("dp", "sp"))
+        with set_mesh(mesh):
+            out = np.asarray(jax.jit(m_ring.apply)(params, ids, mask))
+        valid = np.asarray(mask)
+        np.testing.assert_allclose(out[valid], ref[valid], atol=2e-5)
+
+    def test_ring_axis_without_mesh_falls_back(self):
+        """No ambient mesh: ring_axis config is inert, not an error."""
+        import dataclasses
+
+        from visual_rag_tpu.models.colvlm import ColVLM, ColVLMConfig
+
+        tiny = ColVLMConfig.tiny()
+        cfg = dataclasses.replace(
+            tiny, text=dataclasses.replace(tiny.text, ring_axis="sp"))
+        m = ColVLM(cfg)
+        ids = jnp.ones((1, 8), jnp.int32) * 5
+        mask = jnp.ones((1, 8), bool)
+        params = m.init(jax.random.PRNGKey(0), ids, mask)
+        out = m.apply(params, ids, mask)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_segmented_ring_parity(self, qkv):
+        """Window/tile segments respected across ring steps."""
+        q, k, v = qkv
+        b, _, s, _ = q.shape
+        seg = jnp.asarray(np.repeat(np.arange(4), s // 4)[None, :].repeat(b, 0))
+        mesh = make_mesh((8,), ("sp",))
+        out = ring_attention(q, k, v, None, mesh, segments=seg)
+        ref = dense_reference(q, k, v, None, segments=seg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

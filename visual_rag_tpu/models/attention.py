@@ -28,12 +28,16 @@ def _flash_available(t: int, dh: int) -> bool:
 
 
 def mha(q, k, v, mask, *, causal: bool, dtype, use_flash: bool = True,
-        segments=None):
+        segments=None, ring_axis=None):
     """Multi-head attention with padding mask and optional segment restriction.
 
     q/k/v: [B, T, H, Dh]; mask: [B, T] bool (key/query validity);
     segments: optional [B, T] int32 — tokens attend only within equal segment
     ids (window attention for the Qwen2.5-VL vision tower: windows = segments).
+    ring_axis: when set (e.g. 'sp') and the ambient mesh
+    (``jax.sharding.set_mesh``) carries that axis with T divisible by it,
+    attention runs as ring attention — K/V streamed around the axis instead
+    of all-gathered, for sequences too long for one chip.
     Returns [B, T, H, Dh] in ``dtype``.
     """
     b, t, h, dh = q.shape
@@ -42,6 +46,17 @@ def mha(q, k, v, mask, *, causal: bool, dtype, use_flash: bool = True,
     else:
         # shift window ids to >= 1 so pad tokens (segment 0) never mix in
         seg = jnp.where(mask, segments.astype(jnp.int32) + 1, 0)
+    if ring_axis is not None:
+        ambient = jax.sharding.get_abstract_mesh()
+        if (ambient is not None and ring_axis in getattr(ambient, "shape", {})
+                and t % int(ambient.shape[ring_axis]) == 0):
+            from visual_rag_tpu.parallel.ring_attention import ring_attention
+
+            out = ring_attention(
+                jnp.moveaxis(q, 2, 1), jnp.moveaxis(k, 2, 1),
+                jnp.moveaxis(v, 2, 1), mask, segments=seg, causal=causal,
+                axis_name=ring_axis)
+            return jnp.moveaxis(out, 1, 2).astype(dtype)
     if use_flash and _flash_available(t, dh):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds,

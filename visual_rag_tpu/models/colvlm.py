@@ -71,6 +71,11 @@ class TextConfig:
     moe_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    # Stream K/V around this mesh axis (ring attention) instead of
+    # all-gathering, for sequences too long for one chip. Takes effect only
+    # under an ambient mesh (jax.sharding.set_mesh) carrying the axis with a
+    # divisible sequence length; otherwise falls back to flash/dense.
+    ring_axis: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,6 +173,7 @@ class GQAttention(nn.Module):
     causal: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     use_flash: bool = True
+    ring_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, positions=None, segments=None):
@@ -190,7 +196,8 @@ class GQAttention(nn.Module):
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
         out = mha(q, k, v, mask, causal=self.causal, dtype=self.dtype,
-                  use_flash=self.use_flash, segments=segments)
+                  use_flash=self.use_flash, segments=segments,
+                  ring_axis=self.ring_axis)
         out = out.reshape(b, t, self.heads * dh)
         return nn.Dense(h, use_bias=False, dtype=self.dtype, name="o")(out)
 
@@ -289,7 +296,7 @@ class DecoderBlock(nn.Module):
         h = x + GQAttention(
             heads=self.cfg.heads, kv_heads=self.cfg.kv_heads,
             rope_theta=self.cfg.rope_theta, causal=True, dtype=self.dtype,
-            name="attn",
+            ring_axis=self.cfg.ring_axis, name="attn",
         )(RMSNorm(name="ln1")(x), mask, positions)
         if self.cfg.moe_experts > 0:
             ffn = MoEFFN(self.cfg, dtype=self.dtype, name="moe")
