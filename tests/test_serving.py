@@ -1,0 +1,152 @@
+"""HTTP serving layer: dynamic batching, correctness vs direct engine calls.
+
+The reference serves through a Qdrant server; here the socket surface is
+visual_rag_tpu.serving.SearchServer — results over HTTP must be identical to
+direct RetrievalEngine calls, and concurrent requests must coalesce into
+fused batches.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+from visual_rag_tpu.ops import global_mean_pooling, tile_level_mean_pooling
+from visual_rag_tpu.retrieval import RetrievalEngine
+from visual_rag_tpu.serving import SearchServer
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def served():
+    rng = np.random.default_rng(0)
+    b = IndexBuilder(CollectionSchema.standard(storage_dtype="float32"))
+    for i in range(40):
+        t = rng.standard_normal((rng.integers(2, 6) * 64, 128)).astype(np.float32)
+        mp = np.asarray(tile_level_mean_pooling(t, t.shape[0] // 64))
+        b.add(f"p{i}", {"initial": t, "mean_pooling": mp,
+                        "experimental_pooling": mp,
+                        "global_pooling": np.asarray(global_mean_pooling(mp))},
+              {"page": i})
+    engine = RetrievalEngine(b.seal(), compute_dtype="float32")
+    server = SearchServer(engine, max_batch=64, max_wait_ms=30.0).start()
+    yield server, engine, rng
+    server.stop()
+
+
+class TestEndpoints:
+    def test_healthz(self, served):
+        server, _, _ = served
+        code, body = _get(f"http://{server.host}:{server.port}/healthz")
+        assert code == 200 and body["num_docs"] == 40
+
+    def test_search_matches_direct_engine(self, served):
+        server, engine, rng = served
+        q = rng.standard_normal((12, 128)).astype(np.float32)
+        code, body = _post(
+            f"http://{server.host}:{server.port}/search",
+            {"embedding": q.tolist(), "mode": "two_stage", "top_k": 5,
+             "prefetch_k": 20})
+        assert code == 200
+        direct = engine.search_embedded_batch(
+            [q], mode="two_stage", top_k=5, prefetch_k=20)[0]
+        assert [r["id"] for r in body["results"]] == [r["id"] for r in direct]
+        got = [round(r["score_final"], 4) for r in body["results"]]
+        want = [round(r["score_final"], 4) for r in direct]
+        assert got == want
+
+    def test_concurrent_requests_coalesce(self, served):
+        server, engine, rng = served
+        url = f"http://{server.host}:{server.port}/search"
+        queries = [rng.standard_normal((8, 128)).astype(np.float32)
+                   for _ in range(16)]
+        results = [None] * 16
+
+        def hit(i):
+            code, body = _post(url, {"embedding": queries[i].tolist(),
+                                     "mode": "single_pooled", "top_k": 3})
+            results[i] = (code, body)
+
+        batches_before = server.batcher.stats["batches"]
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(code == 200 for code, _ in results)
+        # correctness under batching: each response matches its direct call
+        for i in (0, 7, 15):
+            direct = engine.search_embedded_batch(
+                [queries[i]], mode="single_pooled", top_k=3)[0]
+            assert ([r["id"] for r in results[i][1]["results"]]
+                    == [r["id"] for r in direct])
+        batches = server.batcher.stats["batches"] - batches_before
+        assert batches < 16, f"no batching happened ({batches} batches for 16)"
+        _, stats = _get(f"http://{server.host}:{server.port}/stats")
+        assert stats["max_batch_seen"] >= 2
+
+    def test_bad_requests(self, served):
+        server, _, _ = served
+        url = f"http://{server.host}:{server.port}/search"
+        code, body = _post(url, {"top_k": 3})
+        assert code == 400 and "embedding" in body["error"]
+        code, body = _post(url, {"embedding": [1.0, 2.0]})
+        assert code == 400 and "shape" in body["error"]
+        code, body = _post(url, {"query": "no embedder configured"})
+        assert code == 400 and "embedder" in body["error"]
+        code, body = _get(f"http://{server.host}:{server.port}/healthz")
+        assert code == 200  # server alive after bad requests
+
+    def test_unknown_path_404(self, served):
+        server, _, _ = served
+        code, body = _post(
+            f"http://{server.host}:{server.port}/other", {})
+        assert code == 404
+
+
+class TestQueryTextPath:
+    def test_text_query_through_embedder(self):
+        from visual_rag_tpu.models.colvlm import ColVLMConfig
+        from visual_rag_tpu.models.embedder import VisualEmbedder
+
+        emb = VisualEmbedder("vidore/colSmol-500M", config=ColVLMConfig.tiny())
+        rng = np.random.default_rng(1)
+        b = IndexBuilder(CollectionSchema.standard(
+            dim=emb.cfg.embed_dim, storage_dtype="float32"))
+        imgs = [rng.random((150, 120, 3)).astype(np.float32) for _ in range(3)]
+        embs, infos = emb.embed_images(imgs, return_token_info=True)
+        for i, (e, info) in enumerate(zip(embs, infos)):
+            v = emb.extract_visual_embedding(e, info)
+            mp = emb.mean_pool_visual_embedding(v, info)
+            b.add(f"d{i}", {"initial": v, "mean_pooling": mp,
+                            "experimental_pooling": mp,
+                            "global_pooling": emb.global_pool_from_mean_pool(mp)},
+                  {})
+        engine = RetrievalEngine(b.seal(), compute_dtype="float32")
+        server = SearchServer(engine, embedder=emb).start()
+        try:
+            code, body = _post(
+                f"http://{server.host}:{server.port}/search",
+                {"query": "find the figure", "mode": "two_stage", "top_k": 2,
+                 "prefetch_k": 3})
+            assert code == 200 and len(body["results"]) == 2
+        finally:
+            server.stop()

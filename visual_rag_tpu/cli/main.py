@@ -84,6 +84,17 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("info", help="show collection status")
     _add_common(i)
+
+    v = sub.add_parser("serve", help="HTTP search service with dynamic batching")
+    _add_common(v)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8090)
+    v.add_argument("--max-batch", type=int, default=256,
+                   help="max queries coalesced into one device dispatch")
+    v.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="batching window after the first request")
+    v.add_argument("--no-embedder", action="store_true",
+                   help="embedding-only API (skip loading the model)")
     return parser
 
 
@@ -207,6 +218,31 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from visual_rag_tpu.retrieval import RetrievalEngine
+    from visual_rag_tpu.serving import SearchServer
+
+    builder = _load_builder(args)
+    engine = RetrievalEngine(builder.seal())
+    embedder = None
+    if not args.no_embedder:
+        from visual_rag_tpu.models.embedder import VisualEmbedder
+
+        embedder = VisualEmbedder(args.model)
+    server = SearchServer(engine, embedder=embedder, host=args.host,
+                          port=args.port, max_batch=args.max_batch,
+                          max_wait_ms=args.max_wait_ms).start()
+    print(f"serving http://{server.host}:{server.port} "
+          f"(POST /search, GET /healthz, GET /stats); Ctrl-C to stop")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        print("stopping")
+        server.stop()
+    return 0
+
+
 def cmd_info(args) -> int:
     builder = _load_builder(args)
     info = builder.seal().info()
@@ -228,6 +264,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_process(args)
     if args.command == "search":
         return cmd_search(args)
+    if args.command == "serve":
+        return cmd_serve(args)
     return cmd_info(args)
 
 

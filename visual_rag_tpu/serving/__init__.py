@@ -1,0 +1,3 @@
+"""In-process serving layer: HTTP API with dynamic request batching."""
+
+from visual_rag_tpu.serving.server import DynamicBatcher, SearchServer  # noqa: F401
