@@ -97,13 +97,15 @@ class Trainer:
     def _loss_fn(self, params, batch):
         moe = self.cfg.text.moe_experts > 0
         aux = jnp.zeros((), jnp.float32)
+        wids = batch.get("window_ids")  # tile/window segments (pixel-shuffle)
         if moe:  # collect MoEFFN's sown Switch load-balance terms
             q_emb, v1 = self.model.apply(
                 params, batch["query_ids"], batch["query_mask"],
                 mutable=["losses"])
             p_emb, v2 = self.model.apply(
                 params, batch["page_ids"], batch["page_mask"],
-                batch["patches"], batch["patch_mask"], mutable=["losses"])
+                batch["patches"], batch["patch_mask"], wids,
+                mutable=["losses"])
             for v in (v1, v2):
                 for leaf in jax.tree.leaves(v.get("losses", {})):
                     aux = aux + jnp.sum(leaf)
@@ -111,7 +113,7 @@ class Trainer:
             q_emb = self.model.apply(params, batch["query_ids"], batch["query_mask"])
             p_emb = self.model.apply(
                 params, batch["page_ids"], batch["page_mask"],
-                batch["patches"], batch["patch_mask"])
+                batch["patches"], batch["patch_mask"], wids)
         loss, metrics = colbert_infonce_loss(
             q_emb, batch["query_mask"], p_emb, batch["page_mask"],
             temperature=self.temperature)
