@@ -150,3 +150,41 @@ class TestQueryTextPath:
             assert code == 200 and len(body["results"]) == 2
         finally:
             server.stop()
+
+
+class TestBinaryWireFormat:
+    def test_b64_embedding_matches_json(self, served):
+        import base64
+
+        server, engine, rng = served
+        q = rng.standard_normal((10, 128)).astype(np.float32)
+        url = f"http://{server.host}:{server.port}/search"
+        code_a, a = _post(url, {"embedding": q.tolist(), "mode": "single_pooled",
+                                "top_k": 4})
+        code_b, b = _post(url, {
+            "embedding_b64": base64.b64encode(q.tobytes()).decode(),
+            "shape": [10, 128], "dtype": "float32",
+            "mode": "single_pooled", "top_k": 4})
+        assert code_a == code_b == 200
+        assert a["results"] == b["results"]
+        # fp16 wire dtype also accepted (cast to f32 server-side)
+        code_c, c = _post(url, {
+            "embedding_b64": base64.b64encode(
+                q.astype(np.float16).tobytes()).decode(),
+            "shape": [10, 128], "dtype": "float16",
+            "mode": "single_pooled", "top_k": 4})
+        assert code_c == 200
+        assert [r["id"] for r in c["results"]] == [r["id"] for r in a["results"]]
+
+    def test_b64_size_mismatch_400(self, served):
+        import base64
+
+        server, _, _ = served
+        url = f"http://{server.host}:{server.port}/search"
+        code, body = _post(url, {
+            "embedding_b64": base64.b64encode(b"\x00" * 64).decode(),
+            "shape": [10, 128], "dtype": "float32"})
+        assert code == 400 and "bytes" in body["error"]
+        code, body = _post(url, {
+            "embedding_b64": "xx", "shape": "bad"})
+        assert code == 400 and "shape" in body["error"]

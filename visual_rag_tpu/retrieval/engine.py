@@ -284,6 +284,16 @@ class RetrievalEngine:
             raise ValueError(f"Unknown mode: {mode}. Choose one of {SEARCH_MODES}")
         if self.index.num_docs == 0 or not len(query_embeddings):
             return [[] for _ in range(len(query_embeddings))]
+        # Bucket B so varying batch sizes (dynamic batching, ragged last
+        # batches) reuse compiled plans instead of recompiling per B — the
+        # fused plan is shape-specialized in B. Padding rows duplicate query
+        # 0; their results are sliced off below.
+        n_real = len(query_embeddings)
+        b_bucket = next((c for c in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+                         if n_real <= c), ((n_real + 255) // 256) * 256)
+        if b_bucket != n_real:
+            query_embeddings = (list(query_embeddings)
+                                + [query_embeddings[0]] * (b_bucket - n_real))
         dim = next(iter(self.index.stores.values())).dim
         tokens, qmask, pooled = B.pad_queries(query_embeddings, dim)
         qmask_f = jnp.asarray(qmask, jnp.float32)
@@ -308,7 +318,7 @@ class RetrievalEngine:
             vals, idx = plans.single_plan(
                 self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
                 pooled, kind=kind, k=max(1, min(int(top_k), d)), **common)
-            return self._batch_results(idx, with_payload, score=vals)
+            return self._batch_results(idx, with_payload, score=vals)[:n_real]
 
         if mode == "two_stage":
             if prefetch_k is None:
@@ -319,7 +329,7 @@ class RetrievalEngine:
                 self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
                 pooled, kind=kind, pk=pk, k=max(1, min(int(top_k), pk)), **common)
             return self._batch_results(
-                idx, with_payload, score_stage2=vals, score_final=vals)
+                idx, with_payload, score_stage2=vals, score_final=vals)[:n_real]
 
         s1k = max(1, min(int(stage1_k or 1000), d))
         s2k = max(1, min(int(stage2_k or 300), d))
@@ -332,7 +342,7 @@ class RetrievalEngine:
             idx, with_payload,
             score_stage3=vals, score_final=vals,
             score_stage1=s1_at, score_stage2=s2_at,
-        )
+        )[:n_real]
 
     def warmup(
         self,
