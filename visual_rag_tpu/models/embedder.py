@@ -212,18 +212,35 @@ class VisualEmbedder:
         batch_size = batch_size or self.batch_size
         embeddings: List[np.ndarray] = []
         infos: List[Dict[str, Any]] = []
-        for s in range(0, len(images), batch_size):
-            proc = self.processor.process_images(list(images[s : s + batch_size]))
-            wids = None if proc.window_ids is None else jnp.asarray(proc.window_ids)
-            emb = np.asarray(self._jit_pages(
-                self.params,
-                jnp.asarray(proc.input_ids), jnp.asarray(proc.attn_mask),
-                jnp.asarray(proc.patches), jnp.asarray(proc.patch_mask), wids),
-                dtype=np.float32)
+
+        def drain(device_out, proc):
+            emb = np.asarray(device_out, dtype=np.float32)
             for i, info in enumerate(proc.token_infos):
                 n_valid = int(proc.attn_mask[i].sum())
                 embeddings.append(emb[i, :n_valid].astype(self.output_dtype))
                 infos.append(info)
+
+        # 1-deep pipeline: dispatch batch i+1 (async under jax) BEFORE
+        # fetching batch i, so host preprocessing + transfer of the next
+        # batch overlap the previous batch's device compute.
+        pending = None
+        for s in range(0, len(images), batch_size):
+            proc = self.processor.process_images(list(images[s : s + batch_size]))
+            wids = None if proc.window_ids is None else jnp.asarray(proc.window_ids)
+            # fp16 wire format for patches: pixel data in [0,1] loses nothing
+            # at 2^-11 precision and the host->device transfer (the ingest
+            # bottleneck over a tunneled TPU: 36 MB/batch fp32 at 3k patches)
+            # halves; the model upcasts to its compute dtype on device.
+            out = self._jit_pages(
+                self.params,
+                jnp.asarray(proc.input_ids), jnp.asarray(proc.attn_mask),
+                jnp.asarray(proc.patches.astype(np.float16)),
+                jnp.asarray(proc.patch_mask), wids)
+            if pending is not None:
+                drain(*pending)
+            pending = (out, proc)
+        if pending is not None:
+            drain(*pending)
         if return_token_info:
             return embeddings, infos
         return embeddings

@@ -20,6 +20,7 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,8 +50,23 @@ def infer_output_dtype(x, output_dtype=None):
     return jnp.dtype(jnp.float32)
 
 
-def _as_f32(x) -> jnp.ndarray:
-    return jnp.asarray(x, dtype=jnp.float32)
+def _as_f32(x):
+    """f32 in the INPUT's backend: jax stays on device, anything else stays
+    host-side numpy. Over a tunneled TPU, per-page pooling matmuls are
+    microseconds of FLOPs but 10-30 ms of dispatch RTT each — host numpy is
+    the fast path for the ingest fan-out; device arrays keep the device path
+    (on-device ingest fusion, tests in interpret mode)."""
+    if isinstance(x, jax.Array):
+        return jnp.asarray(x, dtype=jnp.float32)
+    return np.asarray(x, dtype=np.float32)
+
+
+def _wmatmul(w_np, emb, out_dtype):
+    """weights @ emb in emb's backend (weights are cached host arrays)."""
+    if isinstance(emb, jax.Array):
+        return jnp.matmul(jnp.asarray(w_np), emb,
+                          preferred_element_type=jnp.float32).astype(out_dtype)
+    return np.matmul(np.asarray(w_np, np.float32), emb).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -241,8 +257,8 @@ def tile_level_mean_pooling(
     """
     out_dtype = infer_output_dtype(embedding, output_dtype)
     emb = _as_f32(embedding)
-    w = jnp.asarray(_tile_mean_weights(int(emb.shape[0]), int(num_tiles), int(patches_per_tile)))
-    return jnp.matmul(w, emb, preferred_element_type=jnp.float32).astype(out_dtype)
+    w = _tile_mean_weights(int(emb.shape[0]), int(num_tiles), int(patches_per_tile))
+    return _wmatmul(w, emb, out_dtype)
 
 
 def colpali_row_mean_pooling(embedding, grid_size: int = 32, output_dtype=None) -> jnp.ndarray:
@@ -284,8 +300,7 @@ def adaptive_row_mean_pooling_from_grid(
         return rows.astype(out_dtype)
     if h == 1:
         return jnp.repeat(rows, target_rows, axis=0).astype(out_dtype)
-    w = jnp.asarray(_adaptive_bin_weights(h, target_rows))
-    return jnp.matmul(w, rows, preferred_element_type=jnp.float32).astype(out_dtype)
+    return _wmatmul(_adaptive_bin_weights(h, target_rows), rows, out_dtype)
 
 
 def colsmol_experimental_pooling(
@@ -304,10 +319,9 @@ def colsmol_experimental_pooling(
     if int(patches_per_tile) <= 0:
         raise ValueError("patches_per_tile must be > 0")
     emb = _as_f32(embedding)
-    w = jnp.asarray(
-        _colsmol_experimental_weights(int(emb.shape[0]), int(num_tiles), int(patches_per_tile))
-    )
-    return jnp.matmul(w, emb, preferred_element_type=jnp.float32).astype(out_dtype)
+    w = _colsmol_experimental_weights(
+        int(emb.shape[0]), int(num_tiles), int(patches_per_tile))
+    return _wmatmul(w, emb, out_dtype)
 
 
 def colpali_experimental_pooling_from_rows(
@@ -331,8 +345,7 @@ def colpali_experimental_pooling_from_rows(
         raise ValueError("window_size must be >= 1")
     if window_size % 2 == 0:
         raise ValueError("window_size must be odd")
-    w = jnp.asarray(_legacy_conv_weights(n, window_size))
-    return jnp.matmul(w, rows, preferred_element_type=jnp.float32).astype(out_dtype)
+    return _wmatmul(_legacy_conv_weights(n, window_size), rows, out_dtype)
 
 
 def weighted_row_smoothing_same_length(
@@ -358,8 +371,7 @@ def weighted_row_smoothing_same_length(
     kernel = str(kernel).lower().strip()
     if kernel not in ("uniform", "triangular", "gaussian"):
         raise ValueError(f"Unknown kernel={kernel}. Choose uniform|triangular|gaussian.")
-    w = jnp.asarray(_smoothing_weights(n, k, kernel, sigma))
-    return jnp.matmul(w, rows, preferred_element_type=jnp.float32).astype(out_dtype)
+    return _wmatmul(_smoothing_weights(n, k, kernel, sigma), rows, out_dtype)
 
 
 def colsmol_tile_4n_pooling_from_tiles(
@@ -385,10 +397,9 @@ def colsmol_tile_4n_pooling_from_tiles(
         raise ValueError(
             f"Expected at least {grid_n} tile vectors for {n_rows}x{n_cols}, got {int(tiles.shape[0])}"
         )
-    w = jnp.asarray(
-        _tile_4n_weights(n_rows, n_cols, int(tiles.shape[0]), bool(has_global), bool(include_self))
-    )
-    return jnp.matmul(w, tiles, preferred_element_type=jnp.float32).astype(out_dtype)
+    w = _tile_4n_weights(
+        n_rows, n_cols, int(tiles.shape[0]), bool(has_global), bool(include_self))
+    return _wmatmul(w, tiles, out_dtype)
 
 
 def global_mean_pooling(embedding, output_dtype=None) -> jnp.ndarray:
@@ -405,5 +416,5 @@ def sequence_chunk_mean_pooling(embedding, target_rows: int = 32, output_dtype=N
     """
     out_dtype = infer_output_dtype(embedding, output_dtype)
     emb = _as_f32(embedding)
-    w = jnp.asarray(_adaptive_bin_weights(int(emb.shape[0]), int(target_rows)))
-    return jnp.matmul(w, emb, preferred_element_type=jnp.float32).astype(out_dtype)
+    w = _adaptive_bin_weights(int(emb.shape[0]), int(target_rows))
+    return _wmatmul(w, emb, out_dtype)
