@@ -141,6 +141,23 @@ void vrs_quantize_int8(const float* src, int64_t rows, int32_t dim, int8_t* q_ou
   }
 }
 
+// fp32 -> bf16 (round-to-nearest-even). numpy's ml_dtypes astype runs a
+// slow per-element path (~150 MB/s); this loop saturates memory bandwidth.
+void vrs_f32_to_bf16(const float* src, uint16_t* dst, int64_t n) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t bits;
+    std::memcpy(&bits, &src[i], 4);
+    if ((bits & 0x7F800000u) == 0x7F800000u && (bits & 0x007FFFFFu)) {
+      dst[i] = (uint16_t)((bits >> 16) | 0x40u);  // quiet NaN, keep sign
+      continue;
+    }
+    uint32_t lsb = (bits >> 16) & 1u;
+    bits += 0x7FFFu + lsb;  // round to nearest even
+    dst[i] = (uint16_t)(bits >> 16);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // VRAG1 single-file collection format
 //

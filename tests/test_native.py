@@ -129,3 +129,27 @@ class TestDurability:
         p.write_bytes(b"")
         with pytest.raises(ValueError, match="empty or truncated"):
             native.read_store(p)
+
+
+class TestBf16Convert:
+    def test_native_matches_ml_dtypes_bitwise(self):
+        import ml_dtypes
+
+        from visual_rag_tpu import native
+
+        rng = np.random.default_rng(0)
+        specials = np.array([0.0, -0.0, 1e-40, np.inf, -np.inf, np.nan],
+                            np.float32)
+        snan = np.array([0x7F800001, 0xFF800001], np.uint32).view(np.float32)
+        x = np.concatenate([
+            rng.standard_normal(4096).astype(np.float32), specials, snan,
+        ]).reshape(-1, 1)
+        a = native.f32_to_bf16(x)
+        b = x.astype(ml_dtypes.bfloat16)
+        assert np.array_equal(a.view(np.uint16), b.view(np.uint16))
+
+    def test_empty(self):
+        from visual_rag_tpu import native
+
+        out = native.f32_to_bf16(np.zeros((0, 8), np.float32))
+        assert out.shape == (0, 8)

@@ -48,6 +48,10 @@ def _pack_storage(x: np.ndarray, storage_dtype: str):
     """Normalized f32 rows -> (values, scales-or-None) in the storage dtype."""
     if storage_dtype == "int8":
         return quantize_rows_int8(x)
+    if storage_dtype == "bfloat16":
+        from visual_rag_tpu import native
+
+        return native.f32_to_bf16(np.asarray(x, np.float32)), None
     return x.astype(jnp.dtype(storage_dtype)), None
 
 

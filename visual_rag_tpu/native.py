@@ -69,6 +69,9 @@ def _load_lib():
     lib.vrs_quantize_int8.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.vrs_f32_to_bf16.restype = None
+    lib.vrs_f32_to_bf16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int64]
     lib.vrs_quantize_per_doc.restype = None
     lib.vrs_quantize_per_doc.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
@@ -144,6 +147,19 @@ def pack_aligned(
             flat[offsets[i] : offsets[i] + ln] = block
             pos += ln
     return flat, offsets
+
+
+def f32_to_bf16(x: np.ndarray) -> np.ndarray:
+    """fp32 -> bf16 numpy array (native RNE loop; ml_dtypes astype fallback)."""
+    import ml_dtypes
+
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    lib = _load_lib()
+    if lib is None or x.size == 0:
+        return x.astype(ml_dtypes.bfloat16)
+    out = np.empty(x.shape, dtype=np.uint16)
+    lib.vrs_f32_to_bf16(x.ctypes.data, out.ctypes.data, x.size)
+    return out.view(ml_dtypes.bfloat16)
 
 
 def quantize_int8(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
