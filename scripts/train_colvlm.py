@@ -112,6 +112,8 @@ def main():
     ap.add_argument("--checkpoint-dir", default="train_ckpts")
     ap.add_argument("--save-every", type=int, default=0, help="0 = final only")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="keep an EMA of params (e.g. 0.999); saved as ema_*")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -124,7 +126,8 @@ def main():
     from visual_rag_tpu.models.colvlm import ColVLMConfig
     from visual_rag_tpu.models.embedder import _CONFIG_BY_BACKEND, detect_backend
     from visual_rag_tpu.models.train import (
-        Trainer, restore_train_state, save_train_state, synthetic_batch)
+        Trainer, ema_update, restore_train_state, save_train_state,
+        synthetic_batch)
     from visual_rag_tpu.parallel import make_mesh
 
     cfg = (ColVLMConfig.tiny() if args.tiny
@@ -173,10 +176,17 @@ def main():
             print(f"resumed from step {state.step}")
         step_fn = trainer.make_train_step()
         params, opt_state = state.params, state.opt_state
+        # real copy: the train step DONATES param buffers, so aliasing them
+        # here would leave ema pointing at deleted arrays after step 1
+        import jax.numpy as jnp
+
+        ema = jax.tree.map(jnp.copy, params) if args.ema_decay else None
         t0 = time.time()
         for step in range(int(state.step), args.steps):
             batch = first if step == int(state.step) else next(batches)
             params, opt_state, metrics = step_fn(params, opt_state, batch)
+            if ema is not None:
+                ema = ema_update(ema, params, args.ema_decay)
             if step % args.log_every == 0 or step == args.steps - 1:
                 loss = float(metrics["loss"])
                 extra = (f" moe_aux={float(metrics['moe_aux']):.3f}"
@@ -191,6 +201,10 @@ def main():
         state = dataclasses.replace(
             state, params=params, opt_state=opt_state, step=args.steps)
         print("saved", save_train_state(state, ckpt_dir, step=args.steps))
+        if ema is not None:
+            ema_state = dataclasses.replace(state, params=ema)
+            print("saved EMA", save_train_state(
+                ema_state, ckpt_dir / "ema", step=args.steps))
 
 
 if __name__ == "__main__":

@@ -151,3 +151,21 @@ class TestScannedConvert:
         assert blk["attn"]["q"]["kernel"].shape[0] == 2
         assert not [m for m in report["missing"] if "scan" in m]
         assert not validate_against_model(params, cfg)
+
+
+class TestEMA:
+    def test_ema_converges_toward_params(self):
+        import jax.numpy as jnp
+
+        from visual_rag_tpu.models.train import ema_update
+
+        ema = {"w": jnp.zeros((4,)), "b": jnp.ones((2,), jnp.bfloat16)}
+        target = {"w": jnp.full((4,), 10.0), "b": jnp.full((2,), 3.0, jnp.bfloat16)}
+        x = ema
+        for _ in range(200):
+            x = jax.tree.map(lambda a: a, ema_update(x, target, 0.95))
+        assert float(jnp.abs(x["w"] - 10.0).max()) < 1e-3
+        assert x["b"].dtype == jnp.bfloat16  # dtype preserved
+        # decay is traced: different decays reuse the compiled fn
+        y = ema_update(ema, target, 0.5)
+        np.testing.assert_allclose(np.asarray(y["w"]), np.full(4, 5.0), atol=1e-6)

@@ -158,6 +158,22 @@ class Trainer:
         return TrainState(params, opt_state, state.step + 1), metrics
 
 
+@jax.jit
+def ema_update(ema: Any, params: Any, decay) -> Any:
+    """Exponential moving average of parameters (per-leaf lerp on device).
+
+    The reference ecosystem publishes EMA variants (e.g.
+    Metric-AI/ColQwen2_5-ema); call after each optimizer step:
+    ``ema = ema_update(ema, params, 0.999)`` (decay is traced — any float
+    works without recompiling).
+    """
+    d = jnp.asarray(decay, jnp.float32)
+    return jax.tree.map(
+        lambda e, p: (e.astype(jnp.float32) * d
+                      + p.astype(jnp.float32) * (1.0 - d)).astype(e.dtype),
+        ema, params)
+
+
 def save_train_state(state: TrainState, directory, step: Optional[int] = None) -> str:
     """Checkpoint params+opt_state with orbax (async-safe, atomic dirs)."""
     import orbax.checkpoint as ocp
