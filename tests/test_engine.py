@@ -181,6 +181,50 @@ class TestThreeStage:
             assert r["score_stage2"] == pytest.approx(s2[i], rel=2e-3, abs=2e-3)
 
 
+class TestThreeStageFilterDoc0:
+    """Regression (ADVICE r1): with a payload filter, stage1_k > #matching docs
+    pads c1 with -1 entries; a last-write-wins .set membership scatter erased a
+    genuine doc-0 candidacy. Oracle must agree including doc 0."""
+
+    def _oracle_ids(self, points, oracle, query, allowed, s1k, s2k, k):
+        s1 = {i: oracle.pooled_dot(query, "global_pooling", i) for i in allowed}
+        c1 = sorted(s1, key=lambda i: -s1[i])[:s1k]
+        s2 = {i: oracle.maxsim(query, "experimental_pooling", i) for i in c1}
+        c2 = sorted(s2, key=lambda i: -s2[i])[:s2k]
+        s3 = {i: oracle.maxsim(query, "initial", i) for i in c2}
+        return [points[i]["id"] for i in sorted(s3, key=lambda i: -s3[i])[:k]]
+
+    def test_single_query_path(self, corpus):
+        points, engine, oracle, query = corpus
+        f = build_filter(year=2020)  # doc 0 has year 2020
+        allowed = [i for i, p in enumerate(points) if p["payload"]["year"] == 2020]
+        assert 0 in allowed
+        s1k = len(allowed) + 10  # force -1 padding in c1
+        expected = self._oracle_ids(points, oracle, query, allowed, s1k,
+                                    len(allowed), len(allowed))
+        results = engine.search_embedded(
+            query, mode="three_stage", top_k=len(allowed), stage1_k=s1k,
+            stage2_k=len(allowed), filter_obj=f)
+        got = [r["id"] for r in results]
+        assert got == expected
+        assert points[0]["id"] in got
+
+    def test_fused_batch_path(self, corpus):
+        points, engine, oracle, query = corpus
+        f = build_filter(year=2020)
+        allowed = [i for i, p in enumerate(points) if p["payload"]["year"] == 2020]
+        s1k = len(allowed) + 10
+        expected = self._oracle_ids(points, oracle, query, allowed, s1k,
+                                    len(allowed), len(allowed))
+        batch = engine.search_embedded_batch(
+            [query, query], mode="three_stage", top_k=len(allowed),
+            stage1_k=s1k, stage2_k=len(allowed), filter_obj=f)
+        for results in batch:
+            got = [r["id"] for r in results]
+            assert got == expected
+            assert points[0]["id"] in got
+
+
 class TestFilters:
     def test_filter_restricts_results(self, corpus):
         points, engine, oracle, query = corpus

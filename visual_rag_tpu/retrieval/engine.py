@@ -454,7 +454,9 @@ class RetrievalEngine:
         _, c1 = self._topk_candidates(s1, stage1_k, doc_mask)
         # Stage 2: query tokens vs experimental pooling, restricted to stage-1 ids
         d = self.index.num_docs
-        m1 = jnp.zeros((d,), dtype=bool).at[jnp.maximum(c1, 0)].set(c1 >= 0)
+        # .max (not .set): -1 padding collides onto index 0; last-write-wins
+        # .set would erase a genuine doc-0 candidacy (ADVICE r1).
+        m1 = jnp.zeros((d,), dtype=bool).at[jnp.maximum(c1, 0)].max(c1 >= 0)
         s2 = self._score_store_tokens(self.experimental_vector_name, q["tokens"])
         _, c2 = self._topk_candidates(s2, stage2_k, m1)
         # Stage 3: exact MaxSim on initial, restricted to stage-2 ids

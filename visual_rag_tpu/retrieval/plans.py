@@ -65,7 +65,9 @@ def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
     _, c1 = _topk_masked(s1, s1k, doc_mask)
     b = tokens.shape[0]
     m1 = jnp.zeros((b, ds), dtype=bool)
-    m1 = jax.vmap(lambda m, c: m.at[jnp.maximum(c, 0)].set(c >= 0))(m1, c1)
+    # .max (not .set): -1 padding entries all collide onto index 0, and a
+    # last-write-wins .set would erase a genuine doc-0 candidacy (ADVICE r1).
+    m1 = jax.vmap(lambda m, c: m.at[jnp.maximum(c, 0)].max(c >= 0))(m1, c1)
     s2 = _local_stage1("tokens_padded", estore, ragged, tokens, qmask, pooled,
                        ds, max_len, use_pallas)
     if doc_mask is not None:
