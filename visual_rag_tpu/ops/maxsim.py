@@ -27,9 +27,17 @@ _EPS = 1e-8  # matches reference normalization epsilon (pooling.py:497-500)
 NEG_INF = jnp.float32(-1e30)
 
 
+def _accept(x):
+    """Accept jax/numpy/torch inputs (torch bf16 upcast host-side)."""
+    from visual_rag_tpu.ops.pooling import _torch_to_numpy
+
+    t = _torch_to_numpy(x)
+    return x if t is None else t
+
+
 def l2_normalize(x, axis: int = -1, eps: float = _EPS) -> jnp.ndarray:
     """L2-normalize along axis with the reference's additive epsilon."""
-    x = jnp.asarray(x, dtype=jnp.float32)
+    x = jnp.asarray(_accept(x), dtype=jnp.float32)
     norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
     return x / (norm + eps)
 
@@ -39,8 +47,8 @@ def compute_maxsim_score(query_embedding, doc_embedding, normalize: bool = True)
 
     Reference: pooling.py:468-514. Returns a Python float for API parity.
     """
-    q = jnp.asarray(query_embedding, dtype=jnp.float32)
-    d = jnp.asarray(doc_embedding, dtype=jnp.float32)
+    q = jnp.asarray(_accept(query_embedding), dtype=jnp.float32)
+    d = jnp.asarray(_accept(doc_embedding), dtype=jnp.float32)
     if normalize:
         q = l2_normalize(q)
         d = l2_normalize(d)
@@ -54,12 +62,12 @@ def compute_maxsim_batch(query_embedding, doc_embeddings: Sequence, normalize: b
     Reference: pooling.py:517-552. Ragged python-list input, so this is the
     host-convenience path; the engine uses :func:`maxsim_scores_padded`.
     """
-    q = jnp.asarray(query_embedding, dtype=jnp.float32)
+    q = jnp.asarray(_accept(query_embedding), dtype=jnp.float32)
     if normalize:
         q = l2_normalize(q)
     scores = []
     for doc in doc_embeddings:
-        d = jnp.asarray(doc, dtype=jnp.float32)
+        d = jnp.asarray(_accept(doc), dtype=jnp.float32)
         if normalize:
             d = l2_normalize(d)
         sims = jnp.matmul(q, d.T, preferred_element_type=jnp.float32)

@@ -38,14 +38,31 @@ __all__ = [
 ]
 
 
+def _torch_to_numpy(x):
+    """torch.Tensor -> float32 numpy (bf16 upcast first), else None.
+
+    Accepting torch tensors keeps the reference's input surface
+    (pooling.py:19-32 handles torch fp16/bf16/fp32) so users switching from
+    the reference need no call-site changes. Lazy check: torch never imported
+    here.
+    """
+    if type(x).__module__.split(".")[0] != "torch":
+        return None
+    x = x.detach().cpu()
+    if "bfloat16" in str(x.dtype):
+        x = x.float()
+    return x.numpy().astype(np.float32)
+
+
 def infer_output_dtype(x, output_dtype=None):
     """fp16 -> fp16; anything else (incl. bf16) -> fp32, unless overridden.
 
-    Reference: pooling.py:19-32.
+    Reference: pooling.py:19-32 (torch fp16 -> fp16 likewise).
     """
     if output_dtype is not None:
         return jnp.dtype(output_dtype)
-    if jnp.dtype(getattr(x, "dtype", jnp.float32)) == jnp.float16:
+    dt = getattr(x, "dtype", jnp.float32)
+    if "float16" in str(dt) and "bfloat16" not in str(dt):
         return jnp.dtype(jnp.float16)
     return jnp.dtype(jnp.float32)
 
@@ -58,6 +75,9 @@ def _as_f32(x):
     (on-device ingest fusion, tests in interpret mode)."""
     if isinstance(x, jax.Array):
         return jnp.asarray(x, dtype=jnp.float32)
+    t = _torch_to_numpy(x)
+    if t is not None:
+        return t
     return np.asarray(x, dtype=np.float32)
 
 
