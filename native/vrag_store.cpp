@@ -238,18 +238,23 @@ int vrs_read_toc(const uint8_t* buf, int64_t nbytes, int32_t max_sections,
   if (nbytes < 16 || std::memcmp(buf, "VRAG1", 5) != 0) return -1;
   uint32_t n;
   std::memcpy(&n, buf + 8, 4);
-  if ((int32_t)n > max_sections) return -2;
+  if (max_sections < 0 || n > (uint32_t)max_sections) return -2;
   int64_t p = 16;
   for (uint32_t i = 0; i < n; i++) {
+    // Per-field bounds checks: a corrupt/crafted header must fail cleanly,
+    // not read past the mmap or scatter past the caller's 8-slot shape rows.
     if (p + 2 > nbytes) return -3;
     uint16_t nl;
     std::memcpy(&nl, buf + p, 2);
     p += 2;
+    if (p + (int64_t)nl + 2 > nbytes) return -3;
     name_offs[i] = p;
     name_lens[i] = nl;
     p += nl;
     dtypes[i] = buf[p++];
     ndims[i] = buf[p++];
+    if (ndims[i] > 8) return -5;  // callers allocate 8 shape slots/section
+    if (p + 8 * (int64_t)ndims[i] + 12 > nbytes) return -3;
     for (int d = 0; d < ndims[i]; d++) {
       std::memcpy(&shapes[i * 8 + d], buf + p, 8);
       p += 8;
@@ -259,9 +264,11 @@ int vrs_read_toc(const uint8_t* buf, int64_t nbytes, int32_t max_sections,
     p += 8;
     std::memcpy(&crcs[i], buf + p, 4);
     p += 4;
+    if (len < 0) return -6;
     p = (p + 7) & ~7LL;
     data_offs[i] = p;
     data_lens[i] = len;
+    if (len > nbytes - p) return -4;  // avoids p+len overflow
     p += len;
     p = (p + 7) & ~7LL;
     if (p > nbytes) return -4;

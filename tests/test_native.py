@@ -86,6 +86,46 @@ class TestVragFormat:
         with pytest.raises(ValueError, match="not a VRAG1"):
             native.read_store(p)
 
+    def test_bf16_roundtrip(self, rng, tmp_path):
+        """bf16 arrays store as raw u16 (dtype code 2) and survive a
+        roundtrip bitwise (ADVICE r1: the dtype check was inert)."""
+        import ml_dtypes
+
+        path = tmp_path / "b.vrag"
+        arr = rng.standard_normal((9, 4)).astype(ml_dtypes.bfloat16)
+        w = native.VragWriter(path)
+        w.add("bf16", arr)
+        w.close()
+        back = native.read_store(path, verify=True)
+        np.testing.assert_array_equal(
+            back["bf16"].view(ml_dtypes.bfloat16), arr)
+
+    def test_corrupt_header_rejected(self, rng, tmp_path):
+        """A crafted ndim>8 header must fail cleanly, not overflow the
+        caller's 8-slot shape rows (ADVICE r1 on vrs_read_toc)."""
+        path = tmp_path / "c.vrag"
+        w = native.VragWriter(path)
+        w.add("x", rng.standard_normal((4, 2)).astype(np.float32))
+        w.close()
+        raw = bytearray(path.read_bytes())
+        # section header: [u16 namelen]["x"][u8 dtype][u8 ndim]...
+        ndim_pos = 16 + 2 + 1 + 1
+        assert raw[ndim_pos] == 2
+        raw[ndim_pos] = 200  # crafted ndim
+        path.write_bytes(bytes(raw))
+        with pytest.raises(ValueError):
+            native.read_store(path, verify=True)
+
+    def test_truncated_header_rejected(self, rng, tmp_path):
+        path = tmp_path / "t.vrag"
+        w = native.VragWriter(path)
+        w.add("x", rng.standard_normal((64, 16)).astype(np.float32))
+        w.close()
+        raw = path.read_bytes()[:24]  # cut mid-header, keep section count
+        path.write_bytes(raw)
+        with pytest.raises(ValueError):
+            native.read_store(path, verify=True)
+
 
 class TestFilters:
     def test_eq_and_in_and_chaining(self):

@@ -188,3 +188,16 @@ class TestBinaryWireFormat:
         code, body = _post(url, {
             "embedding_b64": "xx", "shape": "bad"})
         assert code == 400 and "shape" in body["error"]
+
+    def test_bogus_dtype_400(self, served):
+        """ADVICE r1: an invalid 'dtype' used to kill the connection with no
+        response (TypeError escaped do_POST); must be a clean 400 now."""
+        import base64
+
+        server, _, _ = served
+        url = f"http://{server.host}:{server.port}/search"
+        for bad in ([1, 2], "int64", "object"):
+            code, body = _post(url, {
+                "embedding_b64": base64.b64encode(b"\x00" * 64).decode(),
+                "shape": [2, 8], "dtype": bad})
+            assert code == 400 and "dtype" in body["error"], bad

@@ -239,7 +239,7 @@ class VragWriter:
 
     def add(self, name: str, array: np.ndarray) -> None:
         arr = np.ascontiguousarray(array)
-        if arr.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") else False:
+        if arr.dtype.name == "bfloat16":  # ml_dtypes bf16 -> raw u16 (code 2)
             arr = arr.view(np.uint16)
         if arr.dtype not in _DTYPE_CODES:
             raise TypeError(f"unsupported dtype {arr.dtype} for section {name!r}")
@@ -307,22 +307,56 @@ def read_store(path, verify: bool = False) -> Dict[str, np.ndarray]:
         raise ValueError(f"{path} is not a VRAG1 store")
     n = int(np.frombuffer(buf[8:12].tobytes(), dtype=np.uint32)[0])
     out: Dict[str, np.ndarray] = {}
+    lib = _load_lib()
+    if lib is not None:
+        # Native TOC parse: hardened per-field bounds checks (rejects
+        # ndim>8 / truncated headers / overflowing section lengths).
+        name_offs = np.empty(n, np.int64)
+        name_lens = np.empty(n, np.int32)
+        dtypes = np.empty(n, np.uint8)
+        ndims = np.empty(n, np.uint8)
+        shapes = np.empty(n * 8, np.int64)
+        data_offs = np.empty(n, np.int64)
+        data_lens = np.empty(n, np.int64)
+        crcs = np.empty(n, np.uint32)
+        rc = lib.vrs_read_toc(
+            buf.ctypes.data, buf.shape[0], n,
+            name_offs.ctypes.data, name_lens.ctypes.data, dtypes.ctypes.data,
+            ndims.ctypes.data, shapes.ctypes.data, data_offs.ctypes.data,
+            data_lens.ctypes.data, crcs.ctypes.data)
+        if rc < 0:
+            raise ValueError(f"{path} is corrupt (vrs_read_toc rc={rc})")
+        for i in range(rc):
+            o, nl = int(name_offs[i]), int(name_lens[i])
+            name = bytes(buf[o : o + nl]).decode()
+            shape = tuple(int(s) for s in shapes[i * 8 : i * 8 + int(ndims[i])])
+            do, dl = int(data_offs[i]), int(data_lens[i])
+            data = buf[do : do + dl]
+            if verify and lib.vrs_crc32(data.ctypes.data, dl) != int(crcs[i]):
+                raise ValueError(f"crc mismatch in section {name!r} of {path}")
+            out[name] = data.view(_CODE_DTYPES[int(dtypes[i])]).reshape(shape)
+        return out
     p = 16
+    total = buf.shape[0]
     for _ in range(n):
+        if p + 2 > total:
+            raise ValueError(f"{path} is corrupt (truncated header)")
         nl = int(np.frombuffer(buf[p : p + 2].tobytes(), np.uint16)[0]); p += 2
+        if p + nl + 2 > total:
+            raise ValueError(f"{path} is corrupt (truncated header)")
         name = bytes(buf[p : p + nl]).decode(); p += nl
         code = int(buf[p]); ndim = int(buf[p + 1]); p += 2
+        if ndim > 8 or p + 8 * ndim + 12 > total:
+            raise ValueError(f"{path} is corrupt (bad section header)")
         shape = tuple(np.frombuffer(buf[p : p + 8 * ndim].tobytes(), np.int64)); p += 8 * ndim
         nbytes = int(np.frombuffer(buf[p : p + 8].tobytes(), np.int64)[0]); p += 8
         crc = int(np.frombuffer(buf[p : p + 4].tobytes(), np.uint32)[0]); p += 4
         p = (p + 7) & ~7
+        if nbytes < 0 or nbytes > total - p:
+            raise ValueError(f"{path} is corrupt (section overruns file)")
         data = buf[p : p + nbytes]
-        if verify:
-            lib = _load_lib()
-            got = (lib.vrs_crc32(data.ctypes.data, nbytes)
-                   if lib is not None else _crc32(data.tobytes()))
-            if got != crc:
-                raise ValueError(f"crc mismatch in section {name!r} of {path}")
+        if verify and _crc32(data.tobytes()) != crc:
+            raise ValueError(f"crc mismatch in section {name!r} of {path}")
         out[name] = data.view(_CODE_DTYPES[code]).reshape(shape)
         p += nbytes
         p = (p + 7) & ~7

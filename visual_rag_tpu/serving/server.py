@@ -176,7 +176,7 @@ class SearchServer:
                     return
                 try:
                     emb = outer._embedding_from(req)
-                except ValueError as ex:
+                except (ValueError, TypeError) as ex:  # e.g. bogus 'dtype'
                     self._send(400, {"error": str(ex)})
                     return
                 opts = {k: req[k] for k in
@@ -207,7 +207,11 @@ class SearchServer:
             shape = req.get("shape")
             if not (isinstance(shape, list) and len(shape) == 2):
                 raise ValueError("embedding_b64 needs shape: [n_tokens, dim]")
-            dtype = np.dtype(req.get("dtype", "float32"))
+            dtype_name = str(req.get("dtype", "float32"))
+            if dtype_name not in ("float32", "float16"):
+                raise ValueError(
+                    f"unsupported dtype {dtype_name!r}: use float32 or float16")
+            dtype = np.dtype(dtype_name)
             raw = base64.b64decode(req["embedding_b64"])
             expect = int(shape[0]) * int(shape[1]) * dtype.itemsize
             if len(raw) != expect:
