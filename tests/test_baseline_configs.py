@@ -8,7 +8,6 @@ real data; these tests pin the *wiring* for each config).
 import dataclasses
 
 import numpy as np
-import pytest
 
 from visual_rag_tpu.index import CollectionSchema, IndexBuilder
 from visual_rag_tpu.index.builder import VectorSpec

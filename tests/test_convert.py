@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from visual_rag_tpu.models.colvlm import ColVLM, ColVLMConfig
 from visual_rag_tpu.models.convert import (

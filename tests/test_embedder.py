@@ -5,7 +5,7 @@ import pytest
 
 from visual_rag_tpu.models.colvlm import ColVLMConfig
 from visual_rag_tpu.models.embedder import VisualEmbedder, detect_backend
-from visual_rag_tpu.models.processors import ImageProcessor, compute_tile_grid
+from visual_rag_tpu.models.processors import compute_tile_grid
 
 
 class TestBackendDetect:

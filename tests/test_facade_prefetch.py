@@ -3,7 +3,6 @@
 import time
 
 import numpy as np
-import pytest
 
 from visual_rag_tpu.pipeline.prefetch import HostPrefetcher, PrefetchError, prefetched_batches
 

@@ -140,8 +140,6 @@ class TestWindowAttention:
     def test_windows_isolate_in_windowed_layers(self):
         import dataclasses
 
-        from visual_rag_tpu.models.colvlm import VisionConfig
-
         tiny = ColVLMConfig.tiny()
         cfg = dataclasses.replace(
             tiny,

@@ -10,7 +10,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from visual_rag_tpu.models.colvlm import ColVLM, ColVLMConfig, MoEFFN, SwiGLU
 from visual_rag_tpu.parallel import make_mesh

@@ -1,6 +1,5 @@
 """Multi-host init wiring (mocked jax.distributed; no pod available here)."""
 
-import logging
 
 import jax
 import pytest

@@ -49,7 +49,6 @@ class TestHFTokenizer:
 
     def test_dir_loading_and_missing(self, tok_file, tmp_path):
         import shutil
-        from pathlib import Path
 
         d = tmp_path / "ckpt"
         d.mkdir()

@@ -1,7 +1,6 @@
 """Metrics, deterministic IDs, atomic IO, config system."""
 
 import json
-import os
 
 import numpy as np
 import pytest

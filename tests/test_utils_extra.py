@@ -2,8 +2,6 @@
 
 import time
 
-import numpy as np
-import pytest
 
 from visual_rag_tpu.utils.profiling import LatencyRecorder, trace
 

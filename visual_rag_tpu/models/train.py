@@ -23,7 +23,7 @@ import optax
 from jax.sharding import Mesh
 
 from visual_rag_tpu.models.colvlm import ColVLM, ColVLMConfig
-from visual_rag_tpu.models.sharding import batch_sharding, param_shardings
+from visual_rag_tpu.models.sharding import param_shardings
 from visual_rag_tpu.ops.maxsim import maxsim_matrix_padded
 
 

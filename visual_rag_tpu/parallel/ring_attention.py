@@ -22,7 +22,6 @@ bidirectional, causal, padded, and segmented inputs
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
