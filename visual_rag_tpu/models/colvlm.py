@@ -48,6 +48,14 @@ class VisionConfig:
     # hidden*s^2 per tile (1 = no shuffle). Tiles attend independently via the
     # processor-supplied per-tile segment ids.
     pixel_shuffle: int = 1
+    # HF-checkpoint fidelity knobs (exact parametrizations of the real
+    # towers; defaults keep the lean test-scale tree):
+    attn_bias: bool = False  # SigLIP & Qwen-ViT attention carries q/k/v/o biases
+    mlp_gated: bool = False  # Qwen2.5-VL ViT MLP is biased SwiGLU (gate/up/down)
+    rms_norm: bool = False  # Qwen2.5-VL ViT norms are RMSNorm (not LayerNorm)
+    patch_bias: bool = True  # Qwen2.5-VL patch embed is a bias-free Conv3d
+    learned_pos: bool = True  # Qwen2.5-VL has no learned pos table (2D RoPE)
+    post_ln: bool = True  # Qwen2.5-VL has no final vision LayerNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +84,11 @@ class TextConfig:
     # under an ambient mesh (jax.sharding.set_mesh) carrying the axis with a
     # divisible sequence length; otherwise falls back to flash/dense.
     ring_axis: Optional[str] = None
+    # HF-checkpoint fidelity knobs:
+    attn_qkv_bias: bool = False  # Qwen2/2.5 text attention has q/k/v biases
+    mlp_act: str = "silu"  # Gemma (ColPali) uses gelu_tanh GeGLU
+    rms_offset: bool = False  # Gemma RMSNorm computes x * (1 + w)
+    embed_scale: bool = False  # Gemma scales embeddings by sqrt(hidden)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,16 +102,22 @@ class ColVLMConfig:
     image_token_id: int = 49190
     dtype: str = "bfloat16"
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM in training
+    # HF-checkpoint fidelity knobs:
+    proj_bias: bool = False  # colpali-engine custom_text_proj is Linear(bias=True)
+    connector_bias: bool = True  # Idefics3 modality projection has NO bias
+    # which HF export naming the converter should expect for this config
+    hf_layout: str = "idefics3"  # idefics3 | paligemma | qwen2.5
 
     @classmethod
     def colsmol_500m(cls) -> "ColVLMConfig":
         """ColSmol-500M shape (SmolVLM2-500M backbone: SigLIP-B/16 + 500M LM)."""
         return cls(
             vision=VisionConfig(hidden=768, layers=12, heads=12, patch_pixels=3 * 16 * 16,
-                                max_patches=18432, pixel_shuffle=4),
+                                max_patches=18432, pixel_shuffle=4, attn_bias=True),
             text=TextConfig(hidden=960, layers=32, heads=15, kv_heads=5,
                             mlp_hidden=2560, vocab=49280),
             spatial_merge=1,
+            proj_bias=True, connector_bias=False, hf_layout="idefics3",
         )
 
     @classmethod
@@ -106,11 +125,14 @@ class ColVLMConfig:
         """ColPali-v1.3 shape (PaliGemma-3B: SigLIP-So400m + Gemma-2B)."""
         return cls(
             vision=VisionConfig(hidden=1152, layers=27, heads=16, patch_pixels=3 * 14 * 14,
-                                max_patches=1024),
+                                max_patches=1024, attn_bias=True),
             text=TextConfig(hidden=2048, layers=18, heads=8, kv_heads=1,
-                            mlp_hidden=16384, vocab=257216, rope_theta=10000.0),
+                            mlp_hidden=16384, vocab=257216, rope_theta=10000.0,
+                            mlp_act="gelu_tanh", rms_offset=True,
+                            embed_scale=True),
             spatial_merge=1,
             image_token_id=257152,
+            proj_bias=True, connector_bias=True, hf_layout="paligemma",
         )
 
     @classmethod
@@ -119,11 +141,16 @@ class ColVLMConfig:
         return cls(
             vision=VisionConfig(hidden=1280, layers=32, heads=16, patch_pixels=3 * 14 * 14,
                                 max_patches=4096, window_side=8,
-                                full_attn_layers=(7, 15, 23, 31)),
+                                full_attn_layers=(7, 15, 23, 31),
+                                attn_bias=True, mlp_gated=True, rms_norm=True,
+                                patch_bias=False, learned_pos=False,
+                                post_ln=False),
             text=TextConfig(hidden=2048, layers=36, heads=16, kv_heads=2,
-                            mlp_hidden=11008, vocab=151936, rope_theta=1000000.0),
+                            mlp_hidden=11008, vocab=151936, rope_theta=1000000.0,
+                            attn_qkv_bias=True),
             spatial_merge=2,
             image_token_id=151655,
+            proj_bias=True, hf_layout="qwen2.5",
         )
 
     @classmethod
@@ -155,12 +182,18 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 class RMSNorm(nn.Module):
     eps: float = 1e-6
+    # Gemma parametrization: output = norm(x) * (1 + w), stored w init 0.
+    # (HF Gemma checkpoints store w; PaliGemma/ColPali needs this exactly.)
+    offset: bool = False
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        init = nn.initializers.zeros if self.offset else nn.initializers.ones
+        scale = self.param("scale", init, (x.shape[-1],))
         x32 = x.astype(jnp.float32)
         norm = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + self.eps)
+        if self.offset:
+            return (norm * (1.0 + scale)).astype(x.dtype)
         return (norm * scale).astype(x.dtype)
 
 
@@ -174,6 +207,8 @@ class GQAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_flash: bool = True
     ring_axis: Optional[str] = None
+    qkv_bias: bool = False  # SigLIP/Qwen-ViT and Qwen text carry q/k/v biases
+    out_bias: bool = False  # SigLIP/Qwen-ViT carry an output-proj bias
 
     @nn.compact
     def __call__(self, x, mask, positions=None, segments=None):
@@ -181,9 +216,10 @@ class GQAttention(nn.Module):
 
         b, t, h = x.shape
         dh = h // self.heads
-        q = nn.Dense(self.heads * dh, use_bias=False, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(self.kv_heads * dh, use_bias=False, dtype=self.dtype, name="k")(x)
-        v = nn.Dense(self.kv_heads * dh, use_bias=False, dtype=self.dtype, name="v")(x)
+        qb = self.qkv_bias
+        q = nn.Dense(self.heads * dh, use_bias=qb, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.kv_heads * dh, use_bias=qb, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.kv_heads * dh, use_bias=qb, dtype=self.dtype, name="v")(x)
         q = q.reshape(b, t, self.heads, dh)
         k = k.reshape(b, t, self.kv_heads, dh)
         v = v.reshape(b, t, self.kv_heads, dh)
@@ -199,20 +235,24 @@ class GQAttention(nn.Module):
                   use_flash=self.use_flash, segments=segments,
                   ring_axis=self.ring_axis)
         out = out.reshape(b, t, self.heads * dh)
-        return nn.Dense(h, use_bias=False, dtype=self.dtype, name="o")(out)
+        return nn.Dense(h, use_bias=self.out_bias, dtype=self.dtype, name="o")(out)
 
 
 class SwiGLU(nn.Module):
     mlp_hidden: int
     dtype: jnp.dtype = jnp.bfloat16
+    act: str = "silu"  # gelu_tanh for Gemma's GeGLU
+    use_bias: bool = False  # Qwen2.5-VL's ViT MLP is biased
 
     @nn.compact
     def __call__(self, x):
-        gate = nn.Dense(self.mlp_hidden, use_bias=False, dtype=self.dtype, name="gate")(x)
-        up = nn.Dense(self.mlp_hidden, use_bias=False, dtype=self.dtype, name="up")(x)
-        return nn.Dense(x.shape[-1], use_bias=False, dtype=self.dtype, name="down")(
-            nn.silu(gate) * up
-        )
+        gate = nn.Dense(self.mlp_hidden, use_bias=self.use_bias,
+                        dtype=self.dtype, name="gate")(x)
+        up = nn.Dense(self.mlp_hidden, use_bias=self.use_bias,
+                      dtype=self.dtype, name="up")(x)
+        a = nn.gelu(gate) if self.act == "gelu_tanh" else nn.silu(gate)
+        return nn.Dense(x.shape[-1], use_bias=self.use_bias,
+                        dtype=self.dtype, name="down")(a * up)
 
 
 class MoEFFN(nn.Module):
@@ -293,16 +333,19 @@ class DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, positions):
+        off = self.cfg.rms_offset
         h = x + GQAttention(
             heads=self.cfg.heads, kv_heads=self.cfg.kv_heads,
             rope_theta=self.cfg.rope_theta, causal=True, dtype=self.dtype,
-            ring_axis=self.cfg.ring_axis, name="attn",
-        )(RMSNorm(name="ln1")(x), mask, positions)
+            ring_axis=self.cfg.ring_axis, qkv_bias=self.cfg.attn_qkv_bias,
+            name="attn",
+        )(RMSNorm(offset=off, name="ln1")(x), mask, positions)
         if self.cfg.moe_experts > 0:
             ffn = MoEFFN(self.cfg, dtype=self.dtype, name="moe")
         else:
-            ffn = SwiGLU(self.cfg.mlp_hidden, dtype=self.dtype, name="mlp")
-        h = h + ffn(RMSNorm(name="ln2")(h))
+            ffn = SwiGLU(self.cfg.mlp_hidden, dtype=self.dtype,
+                         act=self.cfg.mlp_act, name="mlp")
+        h = h + ffn(RMSNorm(offset=off, name="ln2")(h))
         return h
 
 
@@ -352,15 +395,25 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, segments=None):
+        def norm(name):
+            if self.cfg.rms_norm:  # Qwen2.5-VL ViT
+                return RMSNorm(name=name)
+            return nn.LayerNorm(dtype=self.dtype, name=name)
+
         h = x + GQAttention(
             heads=self.cfg.heads, kv_heads=self.cfg.heads, rope_theta=None,
             causal=False, dtype=self.dtype, name="attn",
-        )(nn.LayerNorm(dtype=self.dtype, name="ln1")(x), mask, segments=segments)
-        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(h)
-        y = nn.Dense(int(self.cfg.hidden * self.cfg.mlp_ratio), dtype=self.dtype,
-                     name="fc1")(y)
-        y = nn.gelu(y)
-        y = nn.Dense(self.cfg.hidden, dtype=self.dtype, name="fc2")(y)
+            qkv_bias=self.cfg.attn_bias, out_bias=self.cfg.attn_bias,
+        )(norm("ln1")(x), mask, segments=segments)
+        y = norm("ln2")(h)
+        if self.cfg.mlp_gated:  # Qwen2.5-VL: biased SwiGLU
+            y = SwiGLU(int(self.cfg.hidden * self.cfg.mlp_ratio),
+                       dtype=self.dtype, use_bias=True, name="mlp")(y)
+        else:  # SigLIP: gelu_tanh MLP with biases
+            y = nn.Dense(int(self.cfg.hidden * self.cfg.mlp_ratio),
+                         dtype=self.dtype, name="fc1")(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.cfg.hidden, dtype=self.dtype, name="fc2")(y)
         return h + y
 
 
@@ -375,19 +428,21 @@ class VisionTower(nn.Module):
         if n > self.cfg.max_patches:
             raise ValueError(
                 f"{n} patches exceeds vision.max_patches={self.cfg.max_patches}")
-        x = nn.Dense(self.cfg.hidden, dtype=self.dtype, name="patch_embed")(
+        x = nn.Dense(self.cfg.hidden, use_bias=self.cfg.patch_bias,
+                     dtype=self.dtype, name="patch_embed")(
             patches.astype(self.dtype))
-        pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (self.cfg.max_patches, self.cfg.hidden)
-        )
-        if self.cfg.pixel_shuffle > 1:
-            # per-tile position table: SigLIP positions index within each
-            # (8*s)^2-patch tile, not across the page's tile sequence
-            tile_patches = (8 * self.cfg.pixel_shuffle) ** 2
-            pos_idx = jnp.arange(n) % tile_patches
-            x = x + pos[pos_idx][None, :, :].astype(self.dtype)
-        else:
-            x = x + pos[:n][None, :, :].astype(self.dtype)
+        if self.cfg.learned_pos:
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (self.cfg.max_patches, self.cfg.hidden))
+            if self.cfg.pixel_shuffle > 1:
+                # per-tile position table: SigLIP positions index within each
+                # (8*s)^2-patch tile, not across the page's tile sequence
+                tile_patches = (8 * self.cfg.pixel_shuffle) ** 2
+                pos_idx = jnp.arange(n) % tile_patches
+                x = x + pos[pos_idx][None, :, :].astype(self.dtype)
+            else:
+                x = x + pos[:n][None, :, :].astype(self.dtype)
         windowed = window_ids is not None  # tiles or windows, per the processor
         for i in range(self.cfg.layers):
             seg = None
@@ -395,6 +450,8 @@ class VisionTower(nn.Module):
                 seg = window_ids
             x = ViTBlock(self.cfg, dtype=self.dtype, name=f"block_{i}")(
                 x, patch_mask, segments=seg)
+        if not self.cfg.post_ln:  # Qwen2.5-VL: merger's ln_q does the norm
+            return x
         return nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)
 
 
@@ -410,6 +467,7 @@ class PatchMerger(nn.Module):
         # x: [B, N, H] with N divisible by merge**2, row-major over the grid
         b, n, h = x.shape
         m2 = self.merge * self.merge
+        x = RMSNorm(name="ln_q")(x)  # Qwen2.5-VL merger pre-norm
         x = x.reshape(b, n // m2, m2 * h)
         x = nn.Dense(m2 * h, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x)
@@ -429,7 +487,9 @@ class ColVLM(nn.Module):
             self.merger = PatchMerger(
                 out_hidden=self.cfg.text.hidden, merge=self.cfg.spatial_merge, dtype=dtype)
         else:
-            self.connector = nn.Dense(self.cfg.text.hidden, dtype=dtype, name="connector")
+            self.connector = nn.Dense(
+                self.cfg.text.hidden, use_bias=self.cfg.connector_bias,
+                dtype=dtype, name="connector")
         if self.cfg.remat:
             # rematerialize transformer blocks: activations recomputed in the
             # backward pass instead of living in HBM (task: trade FLOPs for memory)
@@ -452,9 +512,9 @@ class ColVLM(nn.Module):
                 decoder_cls(self.cfg.text, dtype=dtype, name=f"layer_{i}")
                 for i in range(self.cfg.text.layers)
             ]
-        self.final_norm = RMSNorm()
-        self.proj = nn.Dense(self.cfg.embed_dim, use_bias=False, dtype=dtype,
-                             name="embedding_proj")
+        self.final_norm = RMSNorm(offset=self.cfg.text.rms_offset)
+        self.proj = nn.Dense(self.cfg.embed_dim, use_bias=self.cfg.proj_bias,
+                             dtype=dtype, name="embedding_proj")
 
     def encode_images(self, patches, patch_mask, window_ids=None):
         """[B, N, patch_pixels] -> [B, N', text_hidden] image token embeddings."""
@@ -504,12 +564,18 @@ class ColVLM(nn.Module):
         x = self.tok_embed(input_ids)
         if patches is not None:
             img = self.encode_images(patches, patch_mask, window_ids)  # [B, Ni, H]
+            if self.cfg.text.embed_scale:
+                # PaliGemma: image features are pre-divided by sqrt(hidden) so
+                # the Gemma-wide sqrt(hidden) embed scaling nets out to 1.
+                img = img * (self.cfg.text.hidden ** -0.5)
             is_img = input_ids == self.cfg.image_token_id  # [B, L]
             # index of each image slot within its row: 0..Ni-1
             slot = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1
             slot = jnp.clip(slot, 0, img.shape[1] - 1)
             gathered = jnp.take_along_axis(img, slot[..., None], axis=1)
             x = jnp.where(is_img[..., None], gathered.astype(x.dtype), x)
+        if self.cfg.text.embed_scale:  # Gemma embedding normalizer
+            x = x * (self.cfg.text.hidden ** 0.5)
         h = self._lm(x, attn_mask)
         return self._project(h, attn_mask)
 

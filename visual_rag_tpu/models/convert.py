@@ -58,66 +58,158 @@ def _strip_prefix(key: str) -> str:
     return key
 
 
-def param_mapping(cfg: ColVLMConfig) -> List[Tuple[str, Tuple[str, ...], str]]:
-    """[(hf_key_pattern, flax_path, transform)] for the given config.
+def _siglip_vision_rules(cfg: ColVLMConfig, prefixes: Tuple[str, ...]):
+    """SigLIP tower rules (Idefics3/ColSmol and PaliGemma/ColPali exports).
+
+    ``prefixes`` are the candidate nestings, e.g. ``("vision_model.",)`` for
+    Idefics3 or ``("vision_tower.vision_model.", "vision_model.")`` for
+    PaliGemma (exact HF key inventory verified against transformers 4.57).
+    """
+    def cand(suffix: str) -> Tuple[str, ...]:
+        return tuple(p + suffix for p in prefixes)
+
+    rules: List[Tuple[Any, Tuple[str, ...], str]] = [
+        (cand("embeddings.patch_embedding.weight"),
+         ("vision", "patch_embed", "kernel"), "patch_conv"),
+        (cand("embeddings.patch_embedding.bias"),
+         ("vision", "patch_embed", "bias"), "raw"),
+        (cand("embeddings.position_embedding.weight"),
+         ("vision", "pos_embed"), "raw"),
+        (cand("post_layernorm.weight"), ("vision", "post_ln", "scale"), "raw"),
+        (cand("post_layernorm.bias"), ("vision", "post_ln", "bias"), "raw"),
+    ]
+    for i in range(cfg.vision.layers):
+        blk = ("vision", f"block_{i}")
+        lyr = f"encoder.layers.{i}"
+        rules += [
+            (cand(f"{lyr}.self_attn.q_proj.weight"), blk + ("attn", "q", "kernel"), "linear"),
+            (cand(f"{lyr}.self_attn.k_proj.weight"), blk + ("attn", "k", "kernel"), "linear"),
+            (cand(f"{lyr}.self_attn.v_proj.weight"), blk + ("attn", "v", "kernel"), "linear"),
+            (cand(f"{lyr}.self_attn.out_proj.weight"), blk + ("attn", "o", "kernel"), "linear"),
+            (cand(f"{lyr}.layer_norm1.weight"), blk + ("ln1", "scale"), "raw"),
+            (cand(f"{lyr}.layer_norm1.bias"), blk + ("ln1", "bias"), "raw"),
+            (cand(f"{lyr}.layer_norm2.weight"), blk + ("ln2", "scale"), "raw"),
+            (cand(f"{lyr}.layer_norm2.bias"), blk + ("ln2", "bias"), "raw"),
+            (cand(f"{lyr}.mlp.fc1.weight"), blk + ("fc1", "kernel"), "linear"),
+            (cand(f"{lyr}.mlp.fc1.bias"), blk + ("fc1", "bias"), "raw"),
+            (cand(f"{lyr}.mlp.fc2.weight"), blk + ("fc2", "kernel"), "linear"),
+            (cand(f"{lyr}.mlp.fc2.bias"), blk + ("fc2", "bias"), "raw"),
+        ]
+        if cfg.vision.attn_bias:  # SigLIP attention biases (real checkpoints)
+            rules += [
+                (cand(f"{lyr}.self_attn.q_proj.bias"), blk + ("attn", "q", "bias"), "raw"),
+                (cand(f"{lyr}.self_attn.k_proj.bias"), blk + ("attn", "k", "bias"), "raw"),
+                (cand(f"{lyr}.self_attn.v_proj.bias"), blk + ("attn", "v", "bias"), "raw"),
+                (cand(f"{lyr}.self_attn.out_proj.bias"), blk + ("attn", "o", "bias"), "raw"),
+            ]
+    return rules
+
+
+def _qwen_vision_rules(cfg: ColVLMConfig):
+    """Qwen2.5-VL tower rules (exact HF names: visual.blocks.N.attn.qkv
+    fused, RMSNorm norm1/norm2, biased SwiGLU MLP, merger ln_q + mlp.0/2,
+    Conv3d patch embed with temporal_patch_size=2)."""
+    rules: List[Tuple[Any, Tuple[str, ...], str]] = [
+        (("visual.patch_embed.proj.weight",),
+         ("vision", "patch_embed", "kernel"), "patch_conv3d"),
+        (("visual.merger.ln_q.weight",), ("merger", "ln_q", "scale"), "raw"),
+        (("visual.merger.mlp.0.weight",), ("merger", "fc1", "kernel"), "linear"),
+        (("visual.merger.mlp.0.bias",), ("merger", "fc1", "bias"), "raw"),
+        (("visual.merger.mlp.2.weight",), ("merger", "fc2", "kernel"), "linear"),
+        (("visual.merger.mlp.2.bias",), ("merger", "fc2", "bias"), "raw"),
+    ]
+    for i in range(cfg.vision.layers):
+        blk = ("vision", f"block_{i}")
+        lyr = f"visual.blocks.{i}"
+        rules += [
+            ((f"{lyr}.attn.qkv.weight",), blk + ("attn", "q", "kernel"), "qkv_w_0"),
+            ((f"{lyr}.attn.qkv.weight",), blk + ("attn", "k", "kernel"), "qkv_w_1"),
+            ((f"{lyr}.attn.qkv.weight",), blk + ("attn", "v", "kernel"), "qkv_w_2"),
+            ((f"{lyr}.attn.qkv.bias",), blk + ("attn", "q", "bias"), "qkv_b_0"),
+            ((f"{lyr}.attn.qkv.bias",), blk + ("attn", "k", "bias"), "qkv_b_1"),
+            ((f"{lyr}.attn.qkv.bias",), blk + ("attn", "v", "bias"), "qkv_b_2"),
+            ((f"{lyr}.attn.proj.weight",), blk + ("attn", "o", "kernel"), "linear"),
+            ((f"{lyr}.attn.proj.bias",), blk + ("attn", "o", "bias"), "raw"),
+            ((f"{lyr}.norm1.weight",), blk + ("ln1", "scale"), "raw"),
+            ((f"{lyr}.norm2.weight",), blk + ("ln2", "scale"), "raw"),
+            ((f"{lyr}.mlp.gate_proj.weight",), blk + ("mlp", "gate", "kernel"), "linear"),
+            ((f"{lyr}.mlp.gate_proj.bias",), blk + ("mlp", "gate", "bias"), "raw"),
+            ((f"{lyr}.mlp.up_proj.weight",), blk + ("mlp", "up", "kernel"), "linear"),
+            ((f"{lyr}.mlp.up_proj.bias",), blk + ("mlp", "up", "bias"), "raw"),
+            ((f"{lyr}.mlp.down_proj.weight",), blk + ("mlp", "down", "kernel"), "linear"),
+            ((f"{lyr}.mlp.down_proj.bias",), blk + ("mlp", "down", "bias"), "raw"),
+        ]
+    return rules
+
+
+def param_mapping(cfg: ColVLMConfig) -> List[Tuple[Any, Tuple[str, ...], str]]:
+    """[(hf_key_candidates, flax_path, transform)] for the given config.
 
     transform: 'linear' (transpose [out,in]->[in,out]), 'raw', 'patch_conv'
-    (conv [H, C, k, k] -> [k*k*C, H]), 'embed' (raw [vocab, hidden]).
+    (conv [H, C, k, k] -> [k*k*C, H]), 'patch_conv3d' (Qwen Conv3d, temporal
+    dim summed since frames are duplicated), 'embed' (raw [vocab, hidden]),
+    'qkv_{w,b}_{0,1,2}' (fused qkv slices). Exact key inventories verified
+    per backend against transformers 4.57 synthetic models (hf_layout:
+    idefics3 | paligemma | qwen2.5).
     """
-    rules: List[Tuple[str, Tuple[str, ...], str]] = [
-        ("vision_model.embeddings.patch_embedding.weight",
-         ("vision", "patch_embed", "kernel"), "patch_conv"),
-        ("vision_model.embeddings.patch_embedding.bias",
-         ("vision", "patch_embed", "bias"), "raw"),
-        ("vision_model.embeddings.position_embedding.weight",
-         ("vision", "pos_embed"), "raw"),
-        ("vision_model.post_layernorm.weight", ("vision", "post_ln", "scale"), "raw"),
-        ("vision_model.post_layernorm.bias", ("vision", "post_ln", "bias"), "raw"),
-        ("text_model.embed_tokens.weight", ("tok_embed", "embedding"), "embed"),
-        ("text_model.norm.weight", ("final_norm", "scale"), "raw"),
+    layout = getattr(cfg, "hf_layout", "idefics3")
+    # text backbone prefix candidates per layout
+    text_pre = {
+        "idefics3": ("text_model.",),
+        "paligemma": ("language_model.", "text_model."),
+        "qwen2.5": ("language_model.", "text_model."),
+    }.get(layout, ("text_model.", "language_model."))
+
+    def tc(suffix: str) -> Tuple[str, ...]:
+        return tuple(p + suffix for p in text_pre)
+
+    rules: List[Tuple[Any, Tuple[str, ...], str]] = [
+        (tc("embed_tokens.weight"), ("tok_embed", "embedding"), "embed"),
+        (tc("norm.weight"), ("final_norm", "scale"), "raw"),
         # projection head name varies by backend (colpali vs smolvlm exports)
         (("custom_text_proj.weight", "embedding_proj_layer.weight"),
          ("embedding_proj", "kernel"), "linear"),
-        # vision->text connector (SmolVLM modality projection / PaliGemma
-        # multi_modal_projector); absent for merge>1 configs (PatchMerger)
-        (("connector.modality_projection.proj.weight",
-          "multi_modal_projector.linear.weight"),
-         ("connector", "kernel"), "linear"),
-        (("connector.modality_projection.proj.bias",
-          "multi_modal_projector.linear.bias"),
-         ("connector", "bias"), "raw"),
     ]
-    for i in range(cfg.vision.layers):
-        v = f"vision_model.encoder.layers.{i}"
-        blk = ("vision", f"block_{i}")
-        rules += [
-            (f"{v}.self_attn.q_proj.weight", blk + ("attn", "q", "kernel"), "linear"),
-            (f"{v}.self_attn.k_proj.weight", blk + ("attn", "k", "kernel"), "linear"),
-            (f"{v}.self_attn.v_proj.weight", blk + ("attn", "v", "kernel"), "linear"),
-            (f"{v}.self_attn.out_proj.weight", blk + ("attn", "o", "kernel"), "linear"),
-            (f"{v}.layer_norm1.weight", blk + ("ln1", "scale"), "raw"),
-            (f"{v}.layer_norm1.bias", blk + ("ln1", "bias"), "raw"),
-            (f"{v}.layer_norm2.weight", blk + ("ln2", "scale"), "raw"),
-            (f"{v}.layer_norm2.bias", blk + ("ln2", "bias"), "raw"),
-            (f"{v}.mlp.fc1.weight", blk + ("fc1", "kernel"), "linear"),
-            (f"{v}.mlp.fc1.bias", blk + ("fc1", "bias"), "raw"),
-            (f"{v}.mlp.fc2.weight", blk + ("fc2", "kernel"), "linear"),
-            (f"{v}.mlp.fc2.bias", blk + ("fc2", "bias"), "raw"),
-        ]
+    if cfg.proj_bias:
+        rules.append((("custom_text_proj.bias", "embedding_proj_layer.bias"),
+                      ("embedding_proj", "bias"), "raw"))
+    if cfg.spatial_merge > 1:
+        rules += _qwen_vision_rules(cfg)
+    else:
+        # vision->text connector (SmolVLM modality projection / PaliGemma
+        # multi_modal_projector)
+        rules.append((
+            ("connector.modality_projection.proj.weight",
+             "multi_modal_projector.linear.weight"),
+            ("connector", "kernel"), "linear"))
+        if cfg.connector_bias:
+            rules.append((
+                ("connector.modality_projection.proj.bias",
+                 "multi_modal_projector.linear.bias"),
+                ("connector", "bias"), "raw"))
+        vis_pre = (("vision_tower.vision_model.", "vision_model.")
+                   if layout == "paligemma" else ("vision_model.",))
+        rules += _siglip_vision_rules(cfg, vis_pre)
     for i in range(cfg.text.layers):
-        t = f"text_model.layers.{i}"
         blk = (f"layer_{i}",)
+        lyr = f"layers.{i}"
         rules += [
-            (f"{t}.self_attn.q_proj.weight", blk + ("attn", "q", "kernel"), "linear"),
-            (f"{t}.self_attn.k_proj.weight", blk + ("attn", "k", "kernel"), "linear"),
-            (f"{t}.self_attn.v_proj.weight", blk + ("attn", "v", "kernel"), "linear"),
-            (f"{t}.self_attn.o_proj.weight", blk + ("attn", "o", "kernel"), "linear"),
-            (f"{t}.input_layernorm.weight", blk + ("ln1", "scale"), "raw"),
-            (f"{t}.post_attention_layernorm.weight", blk + ("ln2", "scale"), "raw"),
-            (f"{t}.mlp.gate_proj.weight", blk + ("mlp", "gate", "kernel"), "linear"),
-            (f"{t}.mlp.up_proj.weight", blk + ("mlp", "up", "kernel"), "linear"),
-            (f"{t}.mlp.down_proj.weight", blk + ("mlp", "down", "kernel"), "linear"),
+            (tc(f"{lyr}.self_attn.q_proj.weight"), blk + ("attn", "q", "kernel"), "linear"),
+            (tc(f"{lyr}.self_attn.k_proj.weight"), blk + ("attn", "k", "kernel"), "linear"),
+            (tc(f"{lyr}.self_attn.v_proj.weight"), blk + ("attn", "v", "kernel"), "linear"),
+            (tc(f"{lyr}.self_attn.o_proj.weight"), blk + ("attn", "o", "kernel"), "linear"),
+            (tc(f"{lyr}.input_layernorm.weight"), blk + ("ln1", "scale"), "raw"),
+            (tc(f"{lyr}.post_attention_layernorm.weight"), blk + ("ln2", "scale"), "raw"),
+            (tc(f"{lyr}.mlp.gate_proj.weight"), blk + ("mlp", "gate", "kernel"), "linear"),
+            (tc(f"{lyr}.mlp.up_proj.weight"), blk + ("mlp", "up", "kernel"), "linear"),
+            (tc(f"{lyr}.mlp.down_proj.weight"), blk + ("mlp", "down", "kernel"), "linear"),
         ]
+        if cfg.text.attn_qkv_bias:  # Qwen2/2.5 text q/k/v biases
+            rules += [
+                (tc(f"{lyr}.self_attn.q_proj.bias"), blk + ("attn", "q", "bias"), "raw"),
+                (tc(f"{lyr}.self_attn.k_proj.bias"), blk + ("attn", "k", "bias"), "raw"),
+                (tc(f"{lyr}.self_attn.v_proj.bias"), blk + ("attn", "v", "bias"), "raw"),
+            ]
     return rules
 
 
@@ -129,6 +221,21 @@ def _transform(value: np.ndarray, how: str) -> np.ndarray:
         # processor's (row, col, channel) patch flattening
         h, c, kh, kw = value.shape
         return value.transpose(2, 3, 1, 0).reshape(kh * kw * c, h).astype(np.float32)
+    if how == "patch_conv3d":
+        # Qwen2.5-VL Conv3d [hidden, C, t, k, k] with temporal_patch_size t=2
+        # and the image duplicated across frames: Linear(w)([x, x]) equals
+        # (sum_t w_t) @ x, so the temporal dim folds into one 2-D kernel.
+        h, c, t, kh, kw = value.shape
+        v = value.sum(axis=2)
+        return v.transpose(2, 3, 1, 0).reshape(kh * kw * c, h).astype(np.float32)
+    if how.startswith("qkv_w_"):  # fused [3H, H] -> slice -> [H, H].T
+        i = int(how[-1])
+        h = value.shape[0] // 3
+        return value[i * h : (i + 1) * h].T.astype(np.float32)
+    if how.startswith("qkv_b_"):  # fused [3H] -> slice [H]
+        i = int(how[-1])
+        h = value.shape[0] // 3
+        return value[i * h : (i + 1) * h].astype(np.float32)
     return value.astype(np.float32)
 
 
@@ -143,18 +250,22 @@ def convert_state_dict(
     params: Dict[str, Any] = {}
     matched: List[str] = []
     missing: List[str] = []
+    consumed: set = set()  # fused sources (qwen qkv) feed several paths
     for hf_key, path, how in param_mapping(cfg):
         candidates = hf_key if isinstance(hf_key, tuple) else (hf_key,)
         found = next((k for k in candidates if k in normalized), None)
         if found is None:
             missing.append(candidates[0])
             continue
-        value = _transform(_np(normalized.pop(found)), how)
+        value = _transform(_np(normalized[found]), how)
+        consumed.add(found)
         node = params
         for part in path[:-1]:
             node = node.setdefault(part, {})
         node[path[-1]] = value
         matched.append(hf_key)
+    for k in consumed:
+        normalized.pop(k, None)
     if cfg.text.scan_layers:
         # scanned decoder layout: stack layer_{i} subtrees into the single
         # nn.scan param tree (leaves [L, ...]) under scan_blocks/layers_scan
