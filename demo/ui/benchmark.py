@@ -1,32 +1,21 @@
 """Benchmark tab: indexing + evaluation runners (reference demo/ui/benchmark.py).
 
-Builds the equivalent shell command for reproducibility (reference
-demo/commands.py) and can run the evaluation inline with live metrics.
+Thin widget layer: the command strings / Python snippets come from
+demo/commands.py and the phased runners live in demo/indexing.py and
+demo/evaluation.py (live per-query metric streaming) — all headless-testable.
 """
 
 from __future__ import annotations
 
-import shlex
-
 import streamlit as st
 
+from demo.commands import (
+    build_eval_command,
+    build_index_command,
+    generate_python_eval_code,
+    generate_python_index_code,
+)
 from demo.config import BENCHMARK_DATASETS, DATASET_STATS, RETRIEVAL_MODES
-
-
-def _build_command(args: dict) -> str:
-    """Equivalent CLI command (reference demo/commands.py)."""
-    parts = ["python", "-m", "benchmarks.run_tpu_beir",
-             "--datasets", *args["datasets"],
-             "--collection", args["collection"],
-             "--model", args["model"],
-             "--mode", args["mode"],
-             "--prefetch-k", str(args["prefetch_k"]),
-             "--evaluation-scope", args["scope"]]
-    if args.get("index"):
-        parts.append("--index")
-    if args.get("evaluate"):
-        parts.append("--evaluate")
-    return " ".join(shlex.quote(p) for p in parts)
 
 
 def render_benchmark_tab(state):
@@ -43,41 +32,36 @@ def render_benchmark_tab(state):
     scope = col3.selectbox("Scope", ["union", "per_dataset"])
     do_index = st.checkbox("Index corpora first", value=False)
 
-    args = {"datasets": datasets, "collection": state["collection"],
-            "model": state["model"], "mode": mode, "prefetch_k": int(prefetch_k),
-            "scope": scope, "index": do_index, "evaluate": True}
-    st.code(_build_command(args), language="bash")
+    config = {
+        "datasets": datasets, "collection": state["collection"],
+        "model": state["model"], "mode": mode, "prefetch_k": int(prefetch_k),
+        "evaluation_scope": scope, "index_dir": state["index_dir"],
+    }
+    cmd_tab, py_tab = st.tabs(["Shell command", "Python code"])
+    with cmd_tab:
+        if do_index:
+            st.code(build_index_command(config), language="bash")
+        st.code(build_eval_command(config), language="bash")
+    with py_tab:
+        if do_index:
+            st.code(generate_python_index_code(config), language="python")
+        st.code(generate_python_eval_code(config), language="python")
 
     if not datasets or not st.button("Run benchmark"):
         return
-    from benchmarks.dataset_loader import load_vidore_dataset_auto
-    from benchmarks.run_tpu_beir import evaluate, index_beir_corpus, make_schema_for_embedder
     from demo.engine_utils import get_embedder
-    from visual_rag_tpu.index import IndexBuilder
-    from visual_rag_tpu.retrieval import RetrievalEngine
-    from pathlib import Path
+    from demo.evaluation import run_evaluation_with_ui
+    from demo.indexing import run_indexing_with_ui
 
     embedder = get_embedder(state["model"])
-    coll_path = Path(state["index_dir"]) / state["collection"]
-    if (coll_path / "schema.json").exists():
-        builder = IndexBuilder.load(coll_path)
-    else:
-        builder = IndexBuilder(make_schema_for_embedder(embedder))
-    progress = st.progress(0.0)
-    rows = []
-    for i, name in enumerate(datasets):
-        ds = load_vidore_dataset_auto(name)
-        if do_index:
-            st.write(f"Indexing {name} …")
-            stats = index_beir_corpus(ds, embedder, builder, state["collection"])
-            st.write(stats)
-            builder.save(coll_path)
-        engine = RetrievalEngine(builder.seal())
-        report = evaluate(ds, embedder, engine, state["collection"],
-                          mode=mode, prefetch_k=int(prefetch_k), scope=scope)
-        rows.append({"dataset": name, **report["metrics"],
-                     "qps": report["qps"], "p95_ms": report["p95_latency_ms"]})
-        progress.progress((i + 1) / len(datasets))
-    import pandas as pd
+    if do_index:
+        run_indexing_with_ui(config, ui=st, embedder=embedder)
+    reports = run_evaluation_with_ui(config, ui=st, embedder=embedder)
+    if reports:
+        import pandas as pd
 
-    st.dataframe(pd.DataFrame(rows))
+        st.dataframe(pd.DataFrame([
+            {"dataset": r["dataset"], **{k: v for k, v in r["metrics"].items()
+                                         if k in ("ndcg@5", "ndcg@10", "recall@10")},
+             "qps": r["qps"], "p95_ms": r["p95_latency_ms"]}
+            for r in reports]))

@@ -286,3 +286,41 @@ class TestInt8Engine:
         # score agreement within quantization tolerance
         assert res[0]["id"] == points[best[0]]["id"]
         assert res[0]["score_final"] == pytest.approx(full[best[0]], rel=0.02, abs=0.05)
+
+
+class TestStage1Cut:
+    """approx_max_k stage-1 cut policy (scale feature; small corpora exact)."""
+
+    def test_auto_is_exact_below_threshold(self, corpus):
+        _, engine, _, _ = corpus
+        assert engine.stage1_cut == "auto"
+        assert engine._approx_cut(10) is False  # 37 docs << 65536
+
+    def test_explicit_approx_still_finds_docs(self, corpus):
+        points, _, oracle, query = corpus
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+        schema = CollectionSchema.standard(storage_dtype="float32", dim=DIM)
+        b = IndexBuilder(schema)
+        b.upload_batch(points)
+        eng = RetrievalEngine(b.seal(), compute_dtype="float32",
+                              stage1_cut="approx")
+        res = eng.search_embedded(query, mode="two_stage", top_k=5, prefetch_k=12)
+        assert len(res) == 5
+        # valid docs with exact (descending) rerank scores; recall quality at
+        # scale is covered by the TPU scale profile (approx recall ~0.99 at
+        # 100k docs — tiny corpora reorder more and aren't the target regime)
+        ids = [r["id"] for r in res]
+        assert len(set(ids)) == 5
+        scores = [r["score_final"] for r in res]
+        assert scores == sorted(scores, reverse=True)
+        # prefetch_k >= corpus keeps the cut exhaustive even in approx mode
+        full = {i: oracle.maxsim(query, "initial", i) for i in range(len(points))}
+        expected = [points[i]["id"] for i in oracle.rank(list(full.values()), 5)]
+        res_all = eng.search_embedded(query, mode="two_stage", top_k=5,
+                                      prefetch_k=len(points))
+        assert [r["id"] for r in res_all] == expected
+
+    def test_bad_value_raises(self, corpus):
+        points, engine, _, _ = corpus
+        with pytest.raises(ValueError, match="stage1_cut"):
+            RetrievalEngine(engine.index, stage1_cut="bogus")

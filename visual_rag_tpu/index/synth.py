@@ -1,0 +1,136 @@
+"""Device-side synthetic corpus: build a SealedIndex WITHOUT host transfer.
+
+Sealing a real 200k-doc corpus streams ~10+ GB through the host tunnel
+(~80 min); for scale benchmarking the vectors can be generated directly in
+HBM with jax.random — the index layout (aligned ragged flat + offsets,
+padded pooled stores, single globals) is bit-compatible with
+IndexBuilder.seal()'s output, so every engine path (fused plans, Pallas
+kernels, sharded engine) runs unchanged.
+
+Replaces: the reference harness's synthetic/sampled corpora for scale
+stress (benchmarks/benchmark_datasets.txt Option B) at sizes where host
+upload would dominate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from visual_rag_tpu.index.manifest import Manifest
+from visual_rag_tpu.index.store import (
+    PaddedMultiVectors,
+    RaggedMultiVectors,
+    SealedIndex,
+    SingleVectors,
+)
+
+ALIGN = 32  # must match store.py's pack_aligned (Pallas DMA tile alignment)
+
+
+def _normalized_normal(key, shape, dtype):
+    """Row-normalized gaussian directly on device (f32 math, stored dtype)."""
+    x = jax.random.normal(key, shape, jnp.float32)
+    n = jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+    return (x * n).astype(dtype)
+
+
+def synthetic_index(
+    num_docs: int,
+    dim: int = 128,
+    min_tokens: int = 128,
+    max_tokens: int = 256,
+    pooled_rows: int = 12,
+    storage_dtype: str = "bfloat16",
+    seed: int = 0,
+    payload_years: Optional[int] = None,
+    chunk_rows: int = 8_000_000,
+) -> SealedIndex:
+    """SealedIndex of ``num_docs`` synthetic pages generated in HBM.
+
+    Stores: ``initial`` (ragged, variable tokens/doc), ``mean_pooling`` and
+    ``experimental_pooling`` (padded, ``pooled_rows`` rows each), and
+    ``global_pooling``. int8 stores carry real scales (global-constant — a
+    valid quantization; tightness is irrelevant for perf benching).
+    """
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(min_tokens, max_tokens + 1, num_docs).astype(np.int32)
+    aligned = ((lengths + ALIGN - 1) // ALIGN) * ALIGN
+    offsets = np.zeros(num_docs, np.int64)
+    np.cumsum(aligned[:-1], out=offsets[1:])
+    max_len = int(lengths.max())
+    total = int(aligned.sum()) + max_len  # tail pad keeps gathers in bounds
+    sdt = jnp.dtype(
+        {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
+         "float32": jnp.float32, "int8": jnp.int8}[storage_dtype])
+    keys = jax.random.split(jax.random.PRNGKey(seed), 8)
+
+    int8 = storage_dtype == "int8"
+    gen_dtype = jnp.bfloat16 if int8 else sdt
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1,))
+    def gen_chunk(key, n_rows):
+        return _normalized_normal(key, (n_rows, dim), gen_dtype)
+
+    # ragged flat: chunked generation (one 20 GB f32 intermediate would OOM)
+    flats = []
+    pos = 0
+    ci = 0
+    while pos < total:
+        n = min(chunk_rows, total - pos)
+        flats.append(gen_chunk(jax.random.fold_in(keys[0], ci), n))
+        pos += n
+        ci += 1
+    flat = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=0)
+    del flats
+    flat_scales = None
+    if int8:
+        scale = 1.0 / 127.0  # rows are unit-normalized -> |x| <= 1
+        flat = jax.jit(lambda f: jnp.clip(
+            jnp.round(f.astype(jnp.float32) * 127.0), -127, 127
+        ).astype(jnp.int8))(flat)
+        flat_scales = jnp.full((num_docs,), scale, jnp.float32)
+
+    @jax.jit
+    def padded_vals(key):
+        vals = _normalized_normal(key, (num_docs, pooled_rows, dim), gen_dtype)
+        if int8:
+            vals = jnp.clip(jnp.round(vals.astype(jnp.float32) * 127.0),
+                            -127, 127).astype(jnp.int8)
+        return vals
+
+    def padded(key):
+        return PaddedMultiVectors(
+            values=padded_vals(key),
+            mask=jnp.ones((num_docs, pooled_rows), bool),
+            scales=(jnp.full((num_docs, pooled_rows), 1.0 / 127.0, jnp.float32)
+                    if int8 else None))
+
+    stores = {
+        "initial": RaggedMultiVectors(
+            flat=flat, offsets=jnp.asarray(offsets.astype(np.int32)),
+            lengths=jnp.asarray(lengths), max_len=max_len, scales=flat_scales),
+        "mean_pooling": padded(keys[1]),
+        "experimental_pooling": padded(keys[2]),
+        "global_pooling": SingleVectors(
+            values=jax.jit(
+                lambda k: _normalized_normal(k, (num_docs, dim), jnp.float32)
+            )(keys[3])),
+    }
+
+    manifest = Manifest()
+    manifest.ids = [f"d{i}" for i in range(num_docs)]
+    manifest._id_to_idx = {pid: i for i, pid in enumerate(manifest.ids)}
+    if payload_years:
+        years = rng.integers(2018, 2018 + payload_years, num_docs)
+        manifest.payloads = [{"year": int(y)} for y in years]
+        manifest.create_payload_index("year")
+    else:
+        manifest.payloads = [{} for _ in range(num_docs)]
+    return SealedIndex(stores=stores, manifest=manifest,
+                       storage_dtype=storage_dtype)

@@ -317,6 +317,7 @@ class ShardedEngine:
         global_vector_name: str = "global_pooling",
         experimental_vector_name: str = "experimental_pooling",
         use_pallas: Optional[bool] = None,
+        stage1_cut: str = "auto",
     ):
         self.sindex = sindex
         self.full_vector_name = full_vector_name
@@ -326,7 +327,23 @@ class ShardedEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        if stage1_cut not in ("auto", "exact", "approx"):
+            raise ValueError(f"stage1_cut must be auto|exact|approx, got {stage1_cut}")
+        self.stage1_cut = stage1_cut
         self._plans: Dict[Any, Any] = {}
+
+    APPROX_CUT_MIN_DOCS = 65536  # same policy as RetrievalEngine, per shard
+
+    def _approx_cut(self, k_local: int) -> bool:
+        """Approximate the LOCAL per-shard candidate cut at scale (the merged
+        rerank stays exact). Keyed on docs_per_shard: below the threshold the
+        sharded and single-device engines remain bit-identical."""
+        if self.stage1_cut == "exact":
+            return False
+        if self.stage1_cut == "approx":
+            return True
+        ds = self.sindex.docs_per_shard
+        return ds >= self.APPROX_CUT_MIN_DOCS and k_local * 8 <= ds
 
     # -- RetrievalEngine-parity surface --------------------------------------
 
@@ -435,13 +452,17 @@ class ShardedEngine:
     def _plan_two_stage(self, kind: str, pk: int, k: int):
         mesh, axis, ds, max_len, use_pallas = self._specs()
         pk_local = min(pk, ds)
+        approx = self._approx_cut(pk_local)
 
         def body(s1, ragged, mask, tokens, qmask, pooled):
             s1, ragged, mask = _strip(s1), _strip(ragged), _strip(mask)
             scores = _local_stage1(
                 kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas)
             scores = jnp.where(mask > 0, scores, NEG_INF)
-            v1, i1 = jax.lax.top_k(scores, pk_local)
+            if approx and pk_local < ds:
+                v1, i1 = jax.lax.approx_max_k(scores, pk_local)
+            else:
+                v1, i1 = jax.lax.top_k(scores, pk_local)
             base = jax.lax.axis_index(axis) * ds
             g1 = jnp.where(v1 > NEG_INF / 2, base + i1, -1)
             _, merged = _merge_topk(v1, g1, pk, axis)  # replicated [B, pk]
@@ -465,6 +486,12 @@ class ShardedEngine:
     def _plan_three_stage(self, s1k: int, s2k: int, k: int):
         mesh, axis, ds, max_len, use_pallas = self._specs()
         s1k_local, s2k_local = min(s1k, ds), min(s2k, ds)
+        approx = self._approx_cut(min(s1k_local, s2k_local))
+
+        def cut(scores, kl):
+            if approx and kl < ds:
+                return jax.lax.approx_max_k(scores, kl)
+            return jax.lax.top_k(scores, kl)
 
         def body(gstore, estore, ragged, mask, tokens, qmask, pooled):
             gstore, estore, ragged, mask = (
@@ -474,7 +501,7 @@ class ShardedEngine:
             # stage 1: pooled query vs global vectors
             sc1 = _local_pooled_single(gstore, pooled)
             sc1 = jnp.where(mask > 0, sc1, NEG_INF)
-            v1, i1 = jax.lax.top_k(sc1, s1k_local)
+            v1, i1 = cut(sc1, s1k_local)
             g1 = jnp.where(v1 > NEG_INF / 2, base + i1, -1)
             _, m1_ids = _merge_topk(v1, g1, s1k, axis)
             # stage-1 membership mask for my shard
@@ -487,7 +514,7 @@ class ShardedEngine:
             # stage 2: tokens vs experimental, restricted
             sc2 = _local_tokens_padded(estore, tokens, qmask, use_pallas)
             sc2 = jnp.where(member & (mask > 0), sc2, NEG_INF)
-            v2, i2 = jax.lax.top_k(sc2, s2k_local)
+            v2, i2 = cut(sc2, s2k_local)
             g2 = jnp.where(v2 > NEG_INF / 2, base + i2, -1)
             _, m2_ids = _merge_topk(v2, g2, s2k, axis)
             # stage 3: exact rerank of merged stage-2 ids

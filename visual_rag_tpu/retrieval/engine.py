@@ -92,6 +92,7 @@ class RetrievalEngine:
         experimental_vector_name: str = "experimental_pooling",
         compute_dtype: Optional[str] = None,
         rerank_chunk: int = 256,
+        stage1_cut: str = "auto",
     ):
         self.index = index
         self.full_vector_name = full_vector_name
@@ -102,6 +103,9 @@ class RetrievalEngine:
             compute_dtype = "bfloat16" if jax.default_backend() == "tpu" else "float32"
         self.compute_dtype = compute_dtype
         self.rerank_chunk = int(rerank_chunk)
+        if stage1_cut not in ("auto", "exact", "approx"):
+            raise ValueError(f"stage1_cut must be auto|exact|approx, got {stage1_cut}")
+        self.stage1_cut = stage1_cut
         self._batch_scorer = None
         from visual_rag_tpu.utils.cache import enable_compilation_cache
 
@@ -185,9 +189,26 @@ class RetrievalEngine:
 
     # -- candidate selection -------------------------------------------------
 
-    def _topk_candidates(self, scores, k: int, doc_mask):
+    APPROX_CUT_MIN_DOCS = 65536  # measured: approx loses at 30k, wins 6x at 100k
+
+    def _approx_cut(self, k: int) -> bool:
+        """Use lax.approx_max_k for an intermediate candidate cut?
+
+        The reference's stage-1 (Qdrant HNSW) is approximate; ours is exact
+        below the threshold and ~0.99-recall approximate above it, where
+        exact top_k dominates the query budget (BENCH_SUMMARY scale profile).
+        Only intermediate cuts are affected — final rankings stay exact.
+        """
+        if self.stage1_cut == "exact":
+            return False
+        if self.stage1_cut == "approx":
+            return True
+        d = self.index.num_docs
+        return d >= self.APPROX_CUT_MIN_DOCS and k * 8 <= d
+
+    def _topk_candidates(self, scores, k: int, doc_mask, approx: bool = False):
         k = max(1, min(int(k), self.index.num_docs))
-        vals, idx = topk_masked(scores, k, doc_mask)
+        vals, idx = topk_masked(scores, k, doc_mask, approx=approx)
         valid = vals > (NEG_INF / 2)
         cand = jnp.where(valid, idx, -1).astype(jnp.int32)
         return vals, cand
@@ -327,7 +348,8 @@ class RetrievalEngine:
             pk = max(1, min(int(prefetch_k), d))
             vals, idx = plans.two_stage_plan(
                 self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
-                pooled, kind=kind, pk=pk, k=max(1, min(int(top_k), pk)), **common)
+                pooled, kind=kind, pk=pk, k=max(1, min(int(top_k), pk)),
+                approx=self._approx_cut(pk), **common)
             return self._batch_results(
                 idx, with_payload, score_stage2=vals, score_final=vals)[:n_real]
 
@@ -337,7 +359,8 @@ class RetrievalEngine:
             self._fused_arrays(self.global_vector_name),
             self._fused_arrays(self.experimental_vector_name),
             ragged, doc_mask_f, tokens, qmask_f, pooled,
-            s1k=s1k, s2k=s2k, k=max(1, min(int(top_k), s2k)), **common)
+            s1k=s1k, s2k=s2k, k=max(1, min(int(top_k), s2k)),
+            approx=self._approx_cut(min(s1k, s2k)), **common)
         return self._batch_results(
             idx, with_payload,
             score_stage3=vals, score_final=vals,
@@ -437,7 +460,8 @@ class RetrievalEngine:
         if prefetch_k is None:
             prefetch_k = max(100, top_k * 10)  # reference default (two_stage.py:128-129)
         s1_scores = self._stage1_scores(stage1_mode, q)
-        _, candidates = self._topk_candidates(s1_scores, prefetch_k, doc_mask)
+        _, candidates = self._topk_candidates(
+            s1_scores, prefetch_k, doc_mask, approx=self._approx_cut(prefetch_k))
         rr = self._rerank(q["tokens"], candidates)
         k = max(1, min(int(top_k), int(candidates.shape[0])))
         vals, pos = jax.lax.top_k(rr, k)
@@ -451,14 +475,16 @@ class RetrievalEngine:
         """global -> experimental tokens -> exact cascade (reference three_stage.py:83-173)."""
         # Stage 1: pooled query vs global vectors
         s1 = self._score_store_pooled(self.global_vector_name, q["pooled"])
-        _, c1 = self._topk_candidates(s1, stage1_k, doc_mask)
+        _, c1 = self._topk_candidates(s1, stage1_k, doc_mask,
+                                      approx=self._approx_cut(stage1_k))
         # Stage 2: query tokens vs experimental pooling, restricted to stage-1 ids
         d = self.index.num_docs
         # .max (not .set): -1 padding collides onto index 0; last-write-wins
         # .set would erase a genuine doc-0 candidacy (ADVICE r1).
         m1 = jnp.zeros((d,), dtype=bool).at[jnp.maximum(c1, 0)].max(c1 >= 0)
         s2 = self._score_store_tokens(self.experimental_vector_name, q["tokens"])
-        _, c2 = self._topk_candidates(s2, stage2_k, m1)
+        _, c2 = self._topk_candidates(s2, stage2_k, m1,
+                                      approx=self._approx_cut(stage2_k))
         # Stage 3: exact MaxSim on initial, restricted to stage-2 ids
         rr = self._rerank(q["tokens"], c2)
         k = max(1, min(int(top_k), int(c2.shape[0])))

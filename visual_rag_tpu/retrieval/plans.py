@@ -27,10 +27,18 @@ from visual_rag_tpu.parallel.sharded import (
 NEG_INF = -1e30
 
 
-def _topk_masked(scores, k: int, doc_mask):
+def _topk_masked(scores, k: int, doc_mask, approx: bool = False):
     if doc_mask is not None:  # None = unfiltered: saves a host->device transfer
         scores = jnp.where(doc_mask > 0, scores, NEG_INF)
-    vals, idx = jax.lax.top_k(scores, k)
+    if approx and k < scores.shape[-1]:
+        # lax.approx_max_k: the TPU-native approximate cut (recall ~0.99 at
+        # default settings). The reference's stage-1 is HNSW — also
+        # approximate — so this is parity semantics, and at >=64k docs it is
+        # ~6x faster than exact top_k (BENCH_SUMMARY scale profile). The
+        # exact rerank still re-scores every surviving candidate.
+        vals, idx = jax.lax.approx_max_k(scores, k)
+    else:
+        vals, idx = jax.lax.top_k(scores, k)
     return vals, jnp.where(vals > NEG_INF / 2, idx, -1).astype(jnp.int32)
 
 
@@ -39,46 +47,66 @@ def single_plan(s1: Dict, ragged: Dict, doc_mask, tokens, qmask, pooled,
                 *, kind: str, k: int, ds: int, max_len: int, use_pallas: bool):
     scores = _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
                            use_pallas)
-    return _topk_masked(scores, k, doc_mask)
+    return _topk_masked(scores, k, doc_mask)  # final result: always exact
 
 
-@partial(jax.jit, static_argnames=("kind", "pk", "k", "ds", "max_len", "use_pallas"))
+@partial(jax.jit, static_argnames=("kind", "pk", "k", "ds", "max_len",
+                                   "use_pallas", "approx"))
 def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, tokens, qmask, pooled,
                    *, kind: str, pk: int, k: int, ds: int, max_len: int,
-                   use_pallas: bool):
+                   use_pallas: bool, approx: bool = False):
     scores = _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
                            use_pallas)
-    _, cand = _topk_masked(scores, pk, doc_mask)
+    _, cand = _topk_masked(scores, pk, doc_mask, approx=approx)
     rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas)
     vals, pos = jax.lax.top_k(rr, k)
     idx = jnp.where(vals > NEG_INF / 2, jnp.take_along_axis(cand, pos, axis=1), -1)
     return vals, idx.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("s1k", "s2k", "k", "ds", "max_len", "use_pallas"))
+def _gathered_tokens_padded(estore: Dict, tokens, qmask, cand):
+    """Stage-2 MaxSim of query tokens vs the padded rows of CANDIDATE docs
+    only: [B, s1k] scores via a per-query gather. At corpus scale this beats
+    scoring all D docs and masking by ~D/s1k in FLOPs (the full tokens scan
+    was the three_stage bottleneck in the 100k profile: 387 of 625 ms)."""
+    vals_t, mask_t = estore["vals_t"], estore["mask_t"]  # [P, D, dim], [P, D]
+    scales_t = estore.get("scales_t")
+    safe = jnp.maximum(cand, 0)  # [B, K]
+    sub = jnp.take(vals_t, safe, axis=1)  # [P, B, K, dim]
+    msk = jnp.take(mask_t, safe, axis=1)  # [P, B, K]
+    cd = jnp.bfloat16 if vals_t.dtype == jnp.int8 else vals_t.dtype
+    sims = jnp.einsum("bqd,pbkd->bqpk", tokens.astype(cd), sub.astype(cd),
+                      preferred_element_type=jnp.float32)
+    if scales_t is not None:
+        sims = sims * jnp.take(scales_t, safe, axis=1).transpose(1, 0, 2)[:, None]
+    sims = jnp.where(msk.transpose(1, 0, 2)[:, None] > 0, sims, NEG_INF)
+    per_q = jnp.max(sims, axis=2)  # [B, NQ, K]
+    has = jnp.max(msk, axis=0).transpose(0, 1) > 0  # [B, K]
+    per_q = jnp.where(has[:, None, :], per_q, 0.0)
+    per_q = per_q * jnp.asarray(qmask, jnp.float32)[:, :, None]
+    scores = jnp.sum(per_q, axis=1)  # [B, K]
+    return jnp.where(cand >= 0, scores, NEG_INF)
+
+
+@partial(jax.jit, static_argnames=("s1k", "s2k", "k", "ds", "max_len",
+                                   "use_pallas", "approx"))
 def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
                      tokens, qmask, pooled,
                      *, s1k: int, s2k: int, k: int, ds: int, max_len: int,
-                     use_pallas: bool):
+                     use_pallas: bool, approx: bool = False):
     s1 = _local_stage1("pooled_single", gstore, ragged, tokens, qmask, pooled,
                        ds, max_len, use_pallas)
-    _, c1 = _topk_masked(s1, s1k, doc_mask)
-    b = tokens.shape[0]
-    m1 = jnp.zeros((b, ds), dtype=bool)
-    # .max (not .set): -1 padding entries all collide onto index 0, and a
-    # last-write-wins .set would erase a genuine doc-0 candidacy (ADVICE r1).
-    m1 = jax.vmap(lambda m, c: m.at[jnp.maximum(c, 0)].max(c >= 0))(m1, c1)
-    s2 = _local_stage1("tokens_padded", estore, ragged, tokens, qmask, pooled,
-                       ds, max_len, use_pallas)
-    if doc_mask is not None:
-        m1 = m1 & (doc_mask > 0)[None, :]
-    s2 = jnp.where(m1, s2, NEG_INF)
-    v2, c2 = jax.lax.top_k(s2, s2k)
-    c2 = jnp.where(v2 > NEG_INF / 2, c2, -1).astype(jnp.int32)
+    _, c1 = _topk_masked(s1, s1k, doc_mask, approx=approx)
+    # stage 2: score ONLY the stage-1 candidates (gather, not scan+mask)
+    s2c = _gathered_tokens_padded(estore, tokens, qmask, c1)  # [B, s1k]
+    s2k = min(s2k, s1k)
+    v2, pos2 = jax.lax.top_k(s2c, s2k)  # s1k is small: exact cut
+    c2 = jnp.where(v2 > NEG_INF / 2,
+                   jnp.take_along_axis(c1, pos2, axis=1), -1).astype(jnp.int32)
     rr = _local_rerank(ragged, tokens, qmask, c2, max_len, use_pallas)
     vals, pos = jax.lax.top_k(rr, k)
     idx = jnp.where(vals > NEG_INF / 2, jnp.take_along_axis(c2, pos, axis=1), -1)
     fi = jnp.maximum(idx, 0)
+    s2_at = jnp.take_along_axis(v2, pos, axis=1)  # stage-2 scores at winners
     return (vals, idx.astype(jnp.int32),
-            jnp.take_along_axis(s1, fi, axis=1),
-            jnp.take_along_axis(s2, fi, axis=1))
+            jnp.take_along_axis(s1, fi, axis=1), s2_at)

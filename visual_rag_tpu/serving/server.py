@@ -142,6 +142,11 @@ class SearchServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: without it every request pays a TCP
+            # handshake + slow-start; responses always carry Content-Length
+            # so persistent connections are safe.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # route through logging, not stderr
                 logger.debug("http: " + a[0], *a[1:])
 
