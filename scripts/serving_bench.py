@@ -12,7 +12,6 @@ import base64
 import http.client
 import json
 import sys
-import threading
 import time
 from pathlib import Path
 
@@ -30,39 +29,60 @@ def build_engine(num_docs: int):
     return RetrievalEngine(idx)
 
 
-def client_loop(host, port, payload_bytes, n_requests, latencies, errors):
+_CLIENT_SNIPPET = r"""
+import http.client, json, sys, threading, time
+host, port, n_threads, per_thread = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+payload = sys.stdin.buffer.read()
+lat, errors = [], []
+def loop():
+    import socket
     conn = http.client.HTTPConnection(host, port)
-    for _ in range(n_requests):
+    conn.connect()
+    conn.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    for _ in range(per_thread):
         t0 = time.time()
         try:
-            conn.request("POST", "/search", body=payload_bytes,
+            conn.request("POST", "/search", body=payload,
                          headers={"Content-Type": "application/json"})
-            resp = conn.getresponse()
-            body = resp.read()
-            if resp.status != 200:
-                errors.append(body[:200])
-                return
-        except Exception as ex:  # connection died: record and bail
-            errors.append(repr(ex))
-            return
-        latencies.append(time.time() - t0)
+            r = conn.getresponse(); body = r.read()
+            if r.status != 200:
+                errors.append(body[:200].decode("utf8", "replace")); return
+        except Exception as ex:
+            errors.append(repr(ex)); return
+        lat.append(time.time() - t0)
     conn.close()
+ts = [threading.Thread(target=loop) for _ in range(n_threads)]
+[t.start() for t in ts]; [t.join() for t in ts]
+print(json.dumps({"lat": lat, "errors": errors}))
+"""
 
 
-def run_load(host, port, payload, clients, per_client):
+def run_load(host, port, payload, clients, per_client, procs=4):
+    """Drive load from SUBPROCESSES: in-process client threads would steal
+    the GIL from the batcher/handlers and poison the measurement."""
+    import subprocess
+
     payload_bytes = json.dumps(payload).encode()
-    latencies: list = []
-    errors: list = []
-    threads = [threading.Thread(
-        target=client_loop,
-        args=(host, port, payload_bytes, per_client, latencies, errors))
-        for _ in range(clients)]
+    per_proc_threads = max(1, clients // procs)
+    workers = [subprocess.Popen(
+        [sys.executable, "-c", _CLIENT_SNIPPET, str(host), str(port),
+         str(per_proc_threads), str(per_client)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+        for _ in range(procs)]
+    # feed EVERY worker's stdin up front (fits the 64KB pipe buffer) —
+    # otherwise workers block on stdin until their communicate() turn and
+    # the "concurrent" load runs sequentially
+    for w in workers:
+        w.stdin.write(payload_bytes)
+        w.stdin.close()
     t0 = time.time()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    outs = []
+    for w in workers:
+        outs.append(json.loads(w.stdout.read()))
+        w.wait()
     wall = time.time() - t0
+    latencies = [x for o in outs for x in o["lat"]]
+    errors = [x for o in outs for x in o["errors"]]
     return len(latencies) / wall, latencies, errors
 
 
@@ -73,9 +93,10 @@ def main():
     ap.add_argument("--per-client", type=int, default=30)
     ap.add_argument("--max-batch", type=int, default=256)
     ap.add_argument("--max-wait-ms", type=float, default=8.0)
+    ap.add_argument("--server", choices=["async", "threaded"], default="async")
     args = ap.parse_args()
 
-    from visual_rag_tpu.serving import SearchServer
+    from visual_rag_tpu.serving import AsyncSearchServer, SearchServer
 
     engine = build_engine(args.docs)
     rng = np.random.default_rng(0)
@@ -91,8 +112,14 @@ def main():
                                      prefetch_k=200, with_payload=False)
     direct_qps = 3 * args.max_batch / (time.time() - t0)
 
-    server = SearchServer(engine, max_batch=args.max_batch,
-                          max_wait_ms=args.max_wait_ms)
+    # warm every batch-size bucket the batcher can produce, or bucket
+    # compiles (0.5-5 s each) land inside the measurement as p95 spikes
+    engine.warmup(modes=("two_stage",),
+                  batch_sizes=(1, 2, 4, 8, 16, 32, 64, 128, 256),
+                  prefetch_k=200)
+    cls = AsyncSearchServer if args.server == "async" else SearchServer
+    server = cls(engine, max_batch=args.max_batch,
+                 max_wait_ms=args.max_wait_ms)
     server.start()
     payload = {
         "embedding_b64": base64.b64encode(q.tobytes()).decode(),
@@ -106,14 +133,14 @@ def main():
     assert not errors, errors[:3]
     lat = np.asarray(lat)
     out = {
-        "docs": args.docs, "clients": args.clients,
+        "docs": args.docs, "clients": args.clients, "server": args.server,
         "direct_qps": round(direct_qps, 1),
         "http_qps": round(qps, 1),
         "ratio": round(qps / direct_qps, 3),
         "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
         "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 1),
-        "batches": server.batcher.stats["batches"],
-        "max_batch_seen": server.batcher.stats["max_batch_seen"],
+        **{k: round(v, 1) if isinstance(v, float) else v
+           for k, v in server.batcher.stats.items()},
     }
     print(json.dumps(out))
     server.stop()

@@ -201,3 +201,85 @@ class TestBinaryWireFormat:
                 "embedding_b64": base64.b64encode(b"\x00" * 64).decode(),
                 "shape": [2, 8], "dtype": bad})
             assert code == 400 and "dtype" in body["error"], bad
+
+
+@pytest.fixture(scope="module")
+def aserved(served):
+    """Async server over the same engine as the threaded fixture."""
+    from visual_rag_tpu.serving import AsyncSearchServer
+
+    _, engine, rng = served
+    server = AsyncSearchServer(engine, max_batch=64, max_wait_ms=10.0).start()
+    yield server, engine, rng
+    server.stop()
+
+
+class TestAsyncServer:
+    def test_healthz_and_stats(self, aserved):
+        server, _, _ = aserved
+        code, body = _get(f"http://{server.host}:{server.port}/healthz")
+        assert code == 200 and body["num_docs"] == 40
+        code, body = _get(f"http://{server.host}:{server.port}/stats")
+        assert code == 200 and "batches" in body
+
+    def test_search_matches_direct_engine(self, aserved):
+        server, engine, rng = aserved
+        q = rng.standard_normal((12, 128)).astype(np.float32)
+        code, body = _post(f"http://{server.host}:{server.port}/search", {
+            "embedding": q.tolist(), "mode": "two_stage",
+            "top_k": 5, "prefetch_k": 20})
+        assert code == 200
+        direct = engine.search_embedded_batch(
+            [q], mode="two_stage", top_k=5, prefetch_k=20)[0]
+        assert [r["id"] for r in body["results"]] == [r["id"] for r in direct]
+
+    def test_concurrent_coalesce(self, aserved):
+        server, engine, rng = aserved
+        qs = [rng.standard_normal((8, 128)).astype(np.float32)
+              for _ in range(12)]
+        url = f"http://{server.host}:{server.port}/search"
+        results = [None] * len(qs)
+
+        def hit(i):
+            _, body = _post(url, {"embedding": qs[i].tolist(), "top_k": 3})
+            results[i] = body["results"]
+
+        before = server.batcher.stats["batches"]
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(len(qs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # 12 concurrent requests coalesced into far fewer engine batches
+        assert server.batcher.stats["batches"] - before < 12
+        for i, q in enumerate(qs):
+            direct = engine.search_embedded_batch([q], top_k=3)[0]
+            assert [r["id"] for r in results[i]] == [r["id"] for r in direct]
+
+    def test_bad_requests(self, aserved):
+        server, _, _ = aserved
+        url = f"http://{server.host}:{server.port}/search"
+        code, body = _post(url, {"embedding": [1, 2, 3]})
+        assert code == 400
+        code, body = _post(url, {})
+        assert code == 400
+        code, body = _post(f"http://{server.host}:{server.port}/nope", {})
+        assert code == 404
+
+    def test_keepalive_sequential_requests(self, aserved):
+        """One persistent connection serves many request/response cycles."""
+        import http.client
+
+        server, engine, rng = aserved
+        conn = http.client.HTTPConnection(server.host, server.port)
+        q = rng.standard_normal((6, 128)).astype(np.float32)
+        payload = json.dumps({"embedding": q.tolist(), "top_k": 2}).encode()
+        ids = []
+        for _ in range(5):
+            conn.request("POST", "/search", body=payload,
+                         headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            assert r.status == 200
+            ids.append([x["id"] for x in json.loads(r.read())["results"]])
+        conn.close()
+        assert all(i == ids[0] for i in ids)

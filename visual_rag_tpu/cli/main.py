@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="batching window after the first request")
     v.add_argument("--no-embedder", action="store_true",
                    help="embedding-only API (skip loading the model)")
+    v.add_argument("--server", choices=["async", "threaded"], default="async",
+                   help="asyncio event-loop front end (default) or the "
+                        "thread-per-connection stdlib server")
     return parser
 
 
@@ -220,7 +223,7 @@ def cmd_search(args) -> int:
 
 def cmd_serve(args) -> int:
     from visual_rag_tpu.retrieval import RetrievalEngine
-    from visual_rag_tpu.serving import SearchServer
+    from visual_rag_tpu.serving import AsyncSearchServer, SearchServer
 
     builder = _load_builder(args)
     engine = RetrievalEngine(builder.seal())
@@ -229,9 +232,10 @@ def cmd_serve(args) -> int:
         from visual_rag_tpu.models.embedder import VisualEmbedder
 
         embedder = VisualEmbedder(args.model)
-    server = SearchServer(engine, embedder=embedder, host=args.host,
-                          port=args.port, max_batch=args.max_batch,
-                          max_wait_ms=args.max_wait_ms).start()
+    cls = AsyncSearchServer if args.server == "async" else SearchServer
+    server = cls(engine, embedder=embedder, host=args.host,
+                 port=args.port, max_batch=args.max_batch,
+                 max_wait_ms=args.max_wait_ms).start()
     print(f"serving http://{server.host}:{server.port} "
           f"(POST /search, GET /healthz, GET /stats); Ctrl-C to stop")
     try:

@@ -73,28 +73,30 @@ def synthetic_index(
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(1,))
-    def gen_chunk(key, n_rows):
-        return _normalized_normal(key, (n_rows, dim), gen_dtype)
+    # Chunked generation into a DONATED buffer: the f32 random intermediate
+    # only ever exists at chunk size, and the fill is in-place — peak HBM is
+    # buffer + one chunk (a chunked-concat would double the buffer; a single
+    # full-size normal would materialize a 4-byte/elem f32 intermediate).
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def fill_chunk(buf, key, pos, n_rows):
+        x = _normalized_normal(key, (n_rows, dim), gen_dtype)
+        if int8:  # rows unit-normalized -> |x| <= 1; global scale 1/127
+            x = jnp.clip(jnp.round(x.astype(jnp.float32) * 127.0),
+                         -127, 127).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(buf, x, (pos, jnp.int32(0)))
 
-    # ragged flat: chunked generation (one 20 GB f32 intermediate would OOM)
-    flats = []
+    chunk_rows = min(chunk_rows, 4_000_000)
+    flat = jnp.zeros((total, dim), jnp.int8 if int8 else sdt)
     pos = 0
     ci = 0
     while pos < total:
         n = min(chunk_rows, total - pos)
-        flats.append(gen_chunk(jax.random.fold_in(keys[0], ci), n))
+        flat = fill_chunk(flat, jax.random.fold_in(keys[0], ci),
+                          jnp.int32(pos), n)
         pos += n
         ci += 1
-    flat = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=0)
-    del flats
-    flat_scales = None
-    if int8:
-        scale = 1.0 / 127.0  # rows are unit-normalized -> |x| <= 1
-        flat = jax.jit(lambda f: jnp.clip(
-            jnp.round(f.astype(jnp.float32) * 127.0), -127, 127
-        ).astype(jnp.int8))(flat)
-        flat_scales = jnp.full((num_docs,), scale, jnp.float32)
+    flat_scales = (jnp.full((num_docs,), 1.0 / 127.0, jnp.float32)
+                   if int8 else None)
 
     @jax.jit
     def padded_vals(key):

@@ -247,6 +247,30 @@ def _local_pooled_single(s1, pooled):
     return out
 
 
+def _gathered_tokens_padded(estore: Dict, tokens, qmask, cand):
+    """Stage-2 MaxSim of query tokens vs the padded rows of CANDIDATE docs
+    only: [B, s1k] scores via a per-query gather. At corpus scale this beats
+    scoring all D docs and masking by ~D/s1k in FLOPs (the full tokens scan
+    was the three_stage bottleneck in the 100k profile: 387 of 625 ms)."""
+    vals_t, mask_t = estore["vals_t"], estore["mask_t"]  # [P, D, dim], [P, D]
+    scales_t = estore.get("scales_t")
+    safe = jnp.maximum(cand, 0)  # [B, K]
+    sub = jnp.take(vals_t, safe, axis=1)  # [P, B, K, dim]
+    msk = jnp.take(mask_t, safe, axis=1)  # [P, B, K]
+    cd = jnp.bfloat16 if vals_t.dtype == jnp.int8 else vals_t.dtype
+    sims = jnp.einsum("bqd,pbkd->bqpk", tokens.astype(cd), sub.astype(cd),
+                      preferred_element_type=jnp.float32)
+    if scales_t is not None:
+        sims = sims * jnp.take(scales_t, safe, axis=1).transpose(1, 0, 2)[:, None]
+    sims = jnp.where(msk.transpose(1, 0, 2)[:, None] > 0, sims, NEG_INF)
+    per_q = jnp.max(sims, axis=2)  # [B, NQ, K]
+    has = jnp.max(msk, axis=0).transpose(0, 1) > 0  # [B, K]
+    per_q = jnp.where(has[:, None, :], per_q, 0.0)
+    per_q = per_q * jnp.asarray(qmask, jnp.float32)[:, :, None]
+    scores = jnp.sum(per_q, axis=1)  # [B, K]
+    return jnp.where(cand >= 0, scores, NEG_INF)
+
+
 def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas):
     scales = ragged.get("scales")  # per-doc int8 scales (None for float stores)
     if use_pallas:
@@ -431,8 +455,11 @@ class ShardedEngine:
         mesh, axis, ds, max_len, use_pallas = self._specs()
         kl = min(k, ds)
 
-        def body(s1, ragged, mask, tokens, qmask, pooled):
+        def body(s1, ragged, mask, tokens_raw, qmask):
+            from visual_rag_tpu.retrieval.plans import _prep_queries
+
             s1, ragged, mask = _strip(s1), _strip(ragged), _strip(mask)
+            tokens, pooled = _prep_queries(tokens_raw, qmask)
             scores = _local_stage1(
                 kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas)
             scores = jnp.where(mask > 0, scores, NEG_INF)
@@ -443,7 +470,7 @@ class ShardedEngine:
 
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,  # merged outputs are replicated by construction
         )
@@ -454,8 +481,11 @@ class ShardedEngine:
         pk_local = min(pk, ds)
         approx = self._approx_cut(pk_local)
 
-        def body(s1, ragged, mask, tokens, qmask, pooled):
+        def body(s1, ragged, mask, tokens_raw, qmask):
+            from visual_rag_tpu.retrieval.plans import _prep_queries
+
             s1, ragged, mask = _strip(s1), _strip(ragged), _strip(mask)
+            tokens, pooled = _prep_queries(tokens_raw, qmask)
             scores = _local_stage1(
                 kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas)
             scores = jnp.where(mask > 0, scores, NEG_INF)
@@ -477,7 +507,7 @@ class ShardedEngine:
 
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,  # merged outputs are replicated by construction
         )
@@ -485,38 +515,38 @@ class ShardedEngine:
 
     def _plan_three_stage(self, s1k: int, s2k: int, k: int):
         mesh, axis, ds, max_len, use_pallas = self._specs()
-        s1k_local, s2k_local = min(s1k, ds), min(s2k, ds)
-        approx = self._approx_cut(min(s1k_local, s2k_local))
+        s1k_local = min(s1k, ds)
+        approx = self._approx_cut(s1k_local)
 
-        def cut(scores, kl):
+        def cut(scores, kl):  # local stage-1 cut (approx at scale)
             if approx and kl < ds:
                 return jax.lax.approx_max_k(scores, kl)
             return jax.lax.top_k(scores, kl)
 
-        def body(gstore, estore, ragged, mask, tokens, qmask, pooled):
+        def body(gstore, estore, ragged, mask, tokens_raw, qmask):
+            from visual_rag_tpu.retrieval.plans import _prep_queries
+
             gstore, estore, ragged, mask = (
                 _strip(gstore), _strip(estore), _strip(ragged), _strip(mask))
+            tokens, pooled = _prep_queries(tokens_raw, qmask)
             base = jax.lax.axis_index(axis) * ds
-            b = tokens.shape[0]
             # stage 1: pooled query vs global vectors
             sc1 = _local_pooled_single(gstore, pooled)
             sc1 = jnp.where(mask > 0, sc1, NEG_INF)
             v1, i1 = cut(sc1, s1k_local)
             g1 = jnp.where(v1 > NEG_INF / 2, base + i1, -1)
-            _, m1_ids = _merge_topk(v1, g1, s1k, axis)
-            # stage-1 membership mask for my shard
+            _, m1_ids = _merge_topk(v1, g1, s1k, axis)  # replicated [B, s1k]
+            # stage 2: each shard scores ITS merged candidates by GATHER (not
+            # a full local scan+mask — the scan was the three_stage
+            # bottleneck at scale); pmax combines (one owner per candidate)
             loc1 = m1_ids - base
             ok1 = (loc1 >= 0) & (loc1 < ds) & (m1_ids >= 0)
-            member = jnp.zeros((b, ds), dtype=bool)
-            member = jax.vmap(
-                lambda m, c, v: m.at[jnp.clip(c, 0, ds - 1)].max(v)
-            )(member, loc1, ok1)
-            # stage 2: tokens vs experimental, restricted
-            sc2 = _local_tokens_padded(estore, tokens, qmask, use_pallas)
-            sc2 = jnp.where(member & (mask > 0), sc2, NEG_INF)
-            v2, i2 = cut(sc2, s2k_local)
-            g2 = jnp.where(v2 > NEG_INF / 2, base + i2, -1)
-            _, m2_ids = _merge_topk(v2, g2, s2k, axis)
+            cand1 = jnp.where(ok1, loc1, -1).astype(jnp.int32)
+            s2_local = _gathered_tokens_padded(estore, tokens, qmask, cand1)
+            s2c = jax.lax.pmax(s2_local, axis)  # [B, s1k] replicated
+            v2, pos2 = jax.lax.top_k(s2c, min(s2k, s1k))
+            m2_ids = jnp.where(v2 > NEG_INF / 2,
+                               jnp.take_along_axis(m1_ids, pos2, axis=1), -1)
             # stage 3: exact rerank of merged stage-2 ids
             loc2 = m2_ids - base
             ok2 = (loc2 >= 0) & (loc2 < ds) & (m2_ids >= 0)
@@ -526,19 +556,18 @@ class ShardedEngine:
             vals, pos = jax.lax.top_k(full, k)
             ids = jnp.take_along_axis(m2_ids, pos, axis=1)
             ids = jnp.where(vals > NEG_INF / 2, ids, -1)
-            # per-stage provenance at the winners (pmax over owning shards)
+            # per-stage provenance at the winners
             lidw = ids - base
             okw = (lidw >= 0) & (lidw < ds) & (ids >= 0)
             safe = jnp.clip(lidw, 0, ds - 1)
             s1_at = jax.lax.pmax(
                 jnp.where(okw, jnp.take_along_axis(sc1, safe, axis=1), NEG_INF), axis)
-            s2_at = jax.lax.pmax(
-                jnp.where(okw, jnp.take_along_axis(sc2, safe, axis=1), NEG_INF), axis)
+            s2_at = jnp.take_along_axis(v2, pos, axis=1)  # already replicated
             return vals, ids, s1_at, s2_at
 
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
             out_specs=(P(), P(), P(), P()),
             check_vma=False,  # merged outputs are replicated by construction
         )
@@ -570,8 +599,9 @@ class ShardedEngine:
             return [[] for _ in range(len(query_embeddings))]
         dim = next(iter(si.stores.values()))
         dim = list(dim.values())[0].shape[-1]
-        tokens, qmask, pooled = BATCH.pad_queries(query_embeddings, dim)
-        qmask = jnp.asarray(qmask, jnp.float32)
+        wire = np.float16 if jax.default_backend() == "tpu" else np.float32
+        tokens, qmask = BATCH.pad_queries_raw(query_embeddings, dim,
+                                              wire_dtype=wire)
         mask = si.doc_mask_shards(filter_obj)
         ragged = si.stores[self.full_vector_name]
         d = si.num_docs
@@ -582,7 +612,7 @@ class ShardedEngine:
             plan = self._get_plan(
                 ("single", kind, name, k, tokens.shape),
                 lambda: self._plan_single(kind, k))
-            vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask, pooled)
+            vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
             return self._assemble(ids, with_payload, score=vals)
 
         if mode == "two_stage":
@@ -594,7 +624,7 @@ class ShardedEngine:
             plan = self._get_plan(
                 ("two_stage", kind, name, pk, k, tokens.shape),
                 lambda: self._plan_two_stage(kind, pk, k))
-            vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask, pooled)
+            vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
             return self._assemble(ids, with_payload, score_stage2=vals, score_final=vals)
 
         s1k = max(1, min(int(stage1_k or 1000), d))
@@ -606,7 +636,7 @@ class ShardedEngine:
         vals, ids, s1_at, s2_at = plan(
             si.stores[self.global_vector_name],
             si.stores[self.experimental_vector_name],
-            ragged, mask, tokens, qmask, pooled)
+            ragged, mask, tokens, qmask)
         return self._assemble(
             ids, with_payload,
             score_stage3=vals, score_final=vals,

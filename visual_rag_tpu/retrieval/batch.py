@@ -59,6 +59,27 @@ def pad_queries(queries: Sequence[np.ndarray], dim: int, eps: float = 1e-8):
     return jax.device_put((tokens, mask, pooled))
 
 
+def pad_queries_raw(queries: Sequence[np.ndarray], dim: int,
+                    wire_dtype=np.float32):
+    """Ragged [nq_i, dim] queries -> (raw tokens [B,NQ,dim] in ``wire_dtype``,
+    qmask [B,NQ] f32) with NO host-side math — normalization and query
+    pooling run inside the fused plans (plans._prep_queries), so the host
+    loop is plain copies and the wire can be fp16 (halves the transfer)."""
+    b = len(queries)
+    nq_max = max((int(np.asarray(q).shape[0]) for q in queries), default=1)
+    nq = round_up(max(nq_max, 8), 8)  # sublane-aligned for the kernels
+    tokens = np.zeros((b, nq, dim), dtype=wire_dtype)
+    mask = np.zeros((b, nq), dtype=np.float32)
+    for i, q in enumerate(queries):
+        q = np.asarray(q)
+        if q.ndim == 1:
+            q = q[None, :]
+        t = q.shape[0]
+        tokens[i, :t] = q
+        mask[i, :t] = 1.0
+    return jax.device_put((tokens, mask))
+
+
 # ---------------------------------------------------------------------------
 # Batched XLA fallbacks (chunked over docs; work on any backend / int8)
 # ---------------------------------------------------------------------------

@@ -294,17 +294,53 @@ class RetrievalEngine:
         """Batched search: list of [nq_i, dim] queries -> list of result lists.
 
         TPU-native high-QPS path: queries are padded to one [B, NQ, dim]
-        batch, stage-1 runs as a single fused Pallas pass over the store,
-        stage-2 reranks all candidates with the fused MaxSim kernel. Results
-        are identical to per-query :meth:`search_embedded`.
+        batch (fp16 wire on TPU; normalization runs inside the plan), stage-1
+        runs as a single fused Pallas pass over the store, stage-2 reranks
+        all candidates with the fused MaxSim kernel. Results are identical to
+        per-query :meth:`search_embedded`.
         """
+        pending = self._dispatch_batch(
+            query_embeddings, mode=mode, top_k=top_k, prefetch_k=prefetch_k,
+            stage1_mode=stage1_mode, stage1_k=stage1_k, stage2_k=stage2_k,
+            filter_obj=filter_obj, with_payload=with_payload)
+        return self._finish_batch(pending)
+
+    def search_embedded_batches(self, query_batches, **search_kwargs):
+        """Pipelined fused batches: dispatch batch i+1 BEFORE fetching batch
+        i's results, hiding the dispatch/transfer round-trip behind device
+        compute (the same 1-deep pipeline the image-embedding path uses).
+        Yields one result list per input batch, in order.
+        """
+        prev = None
+        for qb in query_batches:
+            cur = self._dispatch_batch(qb, **search_kwargs)
+            if prev is not None:
+                yield self._finish_batch(prev)
+            prev = cur
+        if prev is not None:
+            yield self._finish_batch(prev)
+
+    def _dispatch_batch(
+        self,
+        query_embeddings,
+        mode: str = "two_stage",
+        top_k: int = 10,
+        prefetch_k: Optional[int] = None,
+        stage1_mode: str = "pooled_query_vs_standard_pooling",
+        stage1_k: Optional[int] = None,
+        stage2_k: Optional[int] = None,
+        filter_obj: Optional[PayloadFilter] = None,
+        with_payload: bool = True,
+    ):
+        """Enqueue one fused plan; returns a pending record (device arrays
+        not yet fetched) for :meth:`_finish_batch`."""
         from visual_rag_tpu.retrieval import batch as B
         from visual_rag_tpu.retrieval import plans
 
         if mode not in SEARCH_MODES:
             raise ValueError(f"Unknown mode: {mode}. Choose one of {SEARCH_MODES}")
         if self.index.num_docs == 0 or not len(query_embeddings):
-            return [[] for _ in range(len(query_embeddings))]
+            return ("empty", len(query_embeddings), with_payload, {})
         # Bucket B so varying batch sizes (dynamic batching, ragged last
         # batches) reuse compiled plans instead of recompiling per B — the
         # fused plan is shape-specialized in B. Padding rows duplicate query
@@ -316,8 +352,10 @@ class RetrievalEngine:
             query_embeddings = (list(query_embeddings)
                                 + [query_embeddings[0]] * (b_bucket - n_real))
         dim = next(iter(self.index.stores.values())).dim
-        tokens, qmask, pooled = B.pad_queries(query_embeddings, dim)
-        qmask_f = jnp.asarray(qmask, jnp.float32)
+        # fp16 wire on TPU halves the host->device transfer; plans normalize
+        # in f32 on device, so only the raw token rounding differs (<=1e-3)
+        wire = np.float16 if jax.default_backend() == "tpu" else np.float32
+        tokens, qmask_f = B.pad_queries_raw(query_embeddings, dim, wire_dtype=wire)
         d = self.index.num_docs
         doc_mask = self._doc_mask(filter_obj)
         # None skips the mask branch entirely (and its host->device transfer)
@@ -338,8 +376,8 @@ class RetrievalEngine:
             }[mode]
             vals, idx = plans.single_plan(
                 self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
-                pooled, kind=kind, k=max(1, min(int(top_k), d)), **common)
-            return self._batch_results(idx, with_payload, score=vals)[:n_real]
+                kind=kind, k=max(1, min(int(top_k), d)), **common)
+            return ("done", n_real, with_payload, {"idx": idx, "score": vals})
 
         if mode == "two_stage":
             if prefetch_k is None:
@@ -348,24 +386,29 @@ class RetrievalEngine:
             pk = max(1, min(int(prefetch_k), d))
             vals, idx = plans.two_stage_plan(
                 self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
-                pooled, kind=kind, pk=pk, k=max(1, min(int(top_k), pk)),
+                kind=kind, pk=pk, k=max(1, min(int(top_k), pk)),
                 approx=self._approx_cut(pk), **common)
-            return self._batch_results(
-                idx, with_payload, score_stage2=vals, score_final=vals)[:n_real]
+            return ("done", n_real, with_payload,
+                    {"idx": idx, "score_stage2": vals, "score_final": vals})
 
         s1k = max(1, min(int(stage1_k or 1000), d))
         s2k = max(1, min(int(stage2_k or 300), d))
         vals, idx, s1_at, s2_at = plans.three_stage_plan(
             self._fused_arrays(self.global_vector_name),
             self._fused_arrays(self.experimental_vector_name),
-            ragged, doc_mask_f, tokens, qmask_f, pooled,
+            ragged, doc_mask_f, tokens, qmask_f,
             s1k=s1k, s2k=s2k, k=max(1, min(int(top_k), s2k)),
             approx=self._approx_cut(min(s1k, s2k)), **common)
-        return self._batch_results(
-            idx, with_payload,
-            score_stage3=vals, score_final=vals,
-            score_stage1=s1_at, score_stage2=s2_at,
-        )[:n_real]
+        return ("done", n_real, with_payload,
+                {"idx": idx, "score_stage3": vals, "score_final": vals,
+                 "score_stage1": s1_at, "score_stage2": s2_at})
+
+    def _finish_batch(self, pending) -> List[List[Dict[str, Any]]]:
+        tag, n_real, with_payload, arrays = pending
+        if tag == "empty":
+            return [[] for _ in range(n_real)]
+        idx = arrays.pop("idx")
+        return self._batch_results(idx, with_payload, **arrays)[:n_real]
 
     def warmup(
         self,

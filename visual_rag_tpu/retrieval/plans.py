@@ -20,11 +20,28 @@ import jax
 import jax.numpy as jnp
 
 from visual_rag_tpu.parallel.sharded import (
+    _gathered_tokens_padded,
     _local_rerank,
     _local_stage1,
 )
 
 NEG_INF = -1e30
+
+
+def _prep_queries(raw, qmask):
+    """Device-side query prep: raw (possibly fp16-wire) padded tokens ->
+    (l2-normalized f32 tokens, normalized mean-of-raw pooled query).
+
+    Moving normalization into the plan keeps the host loop to plain copies
+    (was ~25 ms/batch of numpy norms at B=256) and lets the wire format be
+    fp16 (halves the host->device transfer) without an extra dispatch.
+    """
+    qm = jnp.asarray(qmask, jnp.float32)
+    t = raw.astype(jnp.float32) * qm[..., None]
+    tokens = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-8)
+    mean = jnp.sum(t, axis=1) / jnp.maximum(jnp.sum(qm, axis=1, keepdims=True), 1.0)
+    pooled = mean / (jnp.linalg.norm(mean, axis=-1, keepdims=True) + 1e-8)
+    return tokens, pooled
 
 
 def _topk_masked(scores, k: int, doc_mask, approx: bool = False):
@@ -43,8 +60,9 @@ def _topk_masked(scores, k: int, doc_mask, approx: bool = False):
 
 
 @partial(jax.jit, static_argnames=("kind", "k", "ds", "max_len", "use_pallas"))
-def single_plan(s1: Dict, ragged: Dict, doc_mask, tokens, qmask, pooled,
+def single_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
                 *, kind: str, k: int, ds: int, max_len: int, use_pallas: bool):
+    tokens, pooled = _prep_queries(tokens_raw, qmask)
     scores = _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
                            use_pallas)
     return _topk_masked(scores, k, doc_mask)  # final result: always exact
@@ -52,9 +70,10 @@ def single_plan(s1: Dict, ragged: Dict, doc_mask, tokens, qmask, pooled,
 
 @partial(jax.jit, static_argnames=("kind", "pk", "k", "ds", "max_len",
                                    "use_pallas", "approx"))
-def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, tokens, qmask, pooled,
+def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
                    *, kind: str, pk: int, k: int, ds: int, max_len: int,
                    use_pallas: bool, approx: bool = False):
+    tokens, pooled = _prep_queries(tokens_raw, qmask)
     scores = _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
                            use_pallas)
     _, cand = _topk_masked(scores, pk, doc_mask, approx=approx)
@@ -64,36 +83,15 @@ def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, tokens, qmask, pooled,
     return vals, idx.astype(jnp.int32)
 
 
-def _gathered_tokens_padded(estore: Dict, tokens, qmask, cand):
-    """Stage-2 MaxSim of query tokens vs the padded rows of CANDIDATE docs
-    only: [B, s1k] scores via a per-query gather. At corpus scale this beats
-    scoring all D docs and masking by ~D/s1k in FLOPs (the full tokens scan
-    was the three_stage bottleneck in the 100k profile: 387 of 625 ms)."""
-    vals_t, mask_t = estore["vals_t"], estore["mask_t"]  # [P, D, dim], [P, D]
-    scales_t = estore.get("scales_t")
-    safe = jnp.maximum(cand, 0)  # [B, K]
-    sub = jnp.take(vals_t, safe, axis=1)  # [P, B, K, dim]
-    msk = jnp.take(mask_t, safe, axis=1)  # [P, B, K]
-    cd = jnp.bfloat16 if vals_t.dtype == jnp.int8 else vals_t.dtype
-    sims = jnp.einsum("bqd,pbkd->bqpk", tokens.astype(cd), sub.astype(cd),
-                      preferred_element_type=jnp.float32)
-    if scales_t is not None:
-        sims = sims * jnp.take(scales_t, safe, axis=1).transpose(1, 0, 2)[:, None]
-    sims = jnp.where(msk.transpose(1, 0, 2)[:, None] > 0, sims, NEG_INF)
-    per_q = jnp.max(sims, axis=2)  # [B, NQ, K]
-    has = jnp.max(msk, axis=0).transpose(0, 1) > 0  # [B, K]
-    per_q = jnp.where(has[:, None, :], per_q, 0.0)
-    per_q = per_q * jnp.asarray(qmask, jnp.float32)[:, :, None]
-    scores = jnp.sum(per_q, axis=1)  # [B, K]
-    return jnp.where(cand >= 0, scores, NEG_INF)
 
 
 @partial(jax.jit, static_argnames=("s1k", "s2k", "k", "ds", "max_len",
                                    "use_pallas", "approx"))
 def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
-                     tokens, qmask, pooled,
+                     tokens_raw, qmask,
                      *, s1k: int, s2k: int, k: int, ds: int, max_len: int,
                      use_pallas: bool, approx: bool = False):
+    tokens, pooled = _prep_queries(tokens_raw, qmask)
     s1 = _local_stage1("pooled_single", gstore, ragged, tokens, qmask, pooled,
                        ds, max_len, use_pallas)
     _, c1 = _topk_masked(s1, s1k, doc_mask, approx=approx)

@@ -1,3 +1,4 @@
 """In-process serving layer: HTTP API with dynamic request batching."""
 
+from visual_rag_tpu.serving.aserver import AsyncSearchServer  # noqa: F401
 from visual_rag_tpu.serving.server import DynamicBatcher, SearchServer  # noqa: F401

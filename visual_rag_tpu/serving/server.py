@@ -41,6 +41,9 @@ class _Pending:
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[Dict[str, Any]]] = None
     error: Optional[str] = None
+    # optional completion hook (async server bridges to an asyncio future);
+    # called from the batcher worker thread AFTER result/error is set
+    callback: Optional[Any] = None
 
 
 class DynamicBatcher:
@@ -59,9 +62,19 @@ class DynamicBatcher:
         self.max_wait = float(max_wait_ms) / 1e3
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
-        self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
+        self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0,
+                      "drain_ms": 0.0, "dispatch_ms": 0.0, "finish_ms": 0.0,
+                      "idle_ms": 0.0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def submit_nowait(self, embedding: np.ndarray, options: Dict[str, Any],
+                      callback=None) -> _Pending:
+        """Enqueue without blocking; completion via ``callback`` (called from
+        the worker thread once result/error is set)."""
+        p = _Pending(embedding=embedding, options=options, callback=callback)
+        self._q.put(p)
+        return p
 
     def submit(self, embedding: np.ndarray, options: Dict[str, Any],
                timeout: float = 30.0) -> List[Dict[str, Any]]:
@@ -98,23 +111,85 @@ class DynamicBatcher:
         return batch
 
     def _run(self):
+        # Depth-1 pipeline over the engine's dispatch/finish split: batch i's
+        # device work overlaps batch i+1's collection + host prep, so the
+        # batcher's cycle time is max(device, collection) instead of their
+        # sum. Falls back to synchronous search for engines without the split
+        # (e.g. ShardedEngine).
+        pipelined = hasattr(self.engine, "_dispatch_batch")
+        in_flight: List[Any] = []  # [(group, handle)]
         while not self._stop.is_set():
-            item = self._q.get()
-            if item is None:
-                return
-            batch = self._drain(item)
-            self.stats["requests"] += len(batch)
-            self.stats["batches"] += 1
-            self.stats["max_batch_seen"] = max(
-                self.stats["max_batch_seen"], len(batch))
-            by_opts: Dict[str, List[_Pending]] = {}
-            for p in batch:
-                by_opts.setdefault(
-                    json.dumps(p.options, sort_keys=True), []).append(p)
-            for _, group in by_opts.items():
-                self._run_group(group)
+            t_idle = time.monotonic()
+            try:
+                item = self._q.get(timeout=0.05 if in_flight else None)
+            except queue.Empty:
+                item = None
+            self.stats["idle_ms"] += (time.monotonic() - t_idle) * 1e3
+            if item is None and not in_flight:
+                if self._stop.is_set():
+                    return
+                continue
+            groups: List[List[_Pending]] = []
+            if item is not None:
+                t_drain = time.monotonic()
+                batch = self._drain(item)
+                self.stats["drain_ms"] += (time.monotonic() - t_drain) * 1e3
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], len(batch))
+                by_opts: Dict[str, List[_Pending]] = {}
+                for p in batch:
+                    by_opts.setdefault(
+                        json.dumps(p.options, sort_keys=True), []).append(p)
+                groups = list(by_opts.values())
+            if not pipelined:
+                for group in groups:
+                    self._run_group_sync(group)
+                continue
+            dispatched: List[Any] = []
+            t_disp = time.monotonic()
+            for group in groups:
+                try:
+                    handle = self.engine._dispatch_batch(
+                        [p.embedding for p in group], **group[0].options)
+                    dispatched.append((group, handle))
+                except Exception as ex:
+                    self._fail_group(group, ex)
+            self.stats["dispatch_ms"] += (time.monotonic() - t_disp) * 1e3
+            # finish the PREVIOUS round while this round runs on device
+            t_fin = time.monotonic()
+            for group, handle in in_flight:
+                self._finish_group(group, handle)
+            self.stats["finish_ms"] += (time.monotonic() - t_fin) * 1e3
+            in_flight = dispatched
+        for group, handle in in_flight:
+            self._finish_group(group, handle)
 
-    def _run_group(self, group: List[_Pending]):
+    def _finish_group(self, group: List[_Pending], handle) -> None:
+        try:
+            results = self.engine._finish_batch(handle)
+            for p, r in zip(group, results):
+                p.result = r
+        except Exception as ex:  # pragma: no cover - surfaced to callers
+            logger.exception("batch finish failed")
+            for p in group:
+                p.error = f"{type(ex).__name__}: {ex}"
+        finally:
+            for p in group:
+                p.done.set()
+                if p.callback is not None:
+                    p.callback(p)
+
+    def _fail_group(self, group: List[_Pending], ex: Exception) -> None:
+        logger.exception("batch dispatch failed")
+        for p in group:
+            p.error = f"{type(ex).__name__}: {ex}"
+            p.done.set()
+            if p.callback is not None:
+                p.callback(p)
+
+    def _run_group_sync(self, group: List[_Pending]):
         opts = group[0].options
         try:
             results = self.engine.search_embedded_batch(
@@ -128,6 +203,8 @@ class DynamicBatcher:
         finally:
             for p in group:
                 p.done.set()
+                if p.callback is not None:
+                    p.callback(p)
 
 
 class SearchServer:
@@ -146,6 +223,10 @@ class SearchServer:
             # handshake + slow-start; responses always carry Content-Length
             # so persistent connections are safe.
             protocol_version = "HTTP/1.1"
+            # Nagle + delayed-ACK on keep-alive connections stalls small
+            # request/response pairs ~40 ms each — fatal for a batching
+            # server (requests trickle in and batches never fill).
+            disable_nagle_algorithm = True
 
             def log_message(self, *a):  # route through logging, not stderr
                 logger.debug("http: " + a[0], *a[1:])
