@@ -9,5 +9,8 @@ Both kernels fall back to interpret mode on non-TPU backends (tests run them
 interpreted on CPU against the XLA oracle).
 """
 
-from visual_rag_tpu.ops.kernels.prefetch_topk import pooled_maxsim_scores  # noqa: F401
+from visual_rag_tpu.ops.kernels.prefetch_topk import (  # noqa: F401
+    pooled_maxsim_scores,
+    pooled_maxsim_scores_qbatch,
+)
 from visual_rag_tpu.ops.kernels.maxsim_rerank import rerank_candidates  # noqa: F401

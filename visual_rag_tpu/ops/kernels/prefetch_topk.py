@@ -71,6 +71,119 @@ def _kernel(vals_ref, mask_ref, scales_ref, q_ref, qmask_ref, out_ref):
     )  # [1, BD]
 
 
+def _kernel_qbatch(vals_ref, mask_ref, scales_ref, q_ref, qmask_ref, out_ref):
+    # Query-batched variant: the WHOLE padded query batch rides in VMEM and
+    # each pooled row is one [B*NQ, dim] x [dim, BD] matmul — MXU-sized work
+    # (the per-query kernel's [NQ, dim] x [dim, BD] ops are ~32x smaller and
+    # leave the systolic array mostly idle; measured ~0.8 GB/s eff-BW).
+    # vals:  [P, BD, dim]  one doc block (f32/bf16/int8 codes)
+    # mask:  [P, BD]       f32 row validity
+    # scales:[P, BD]       f32 per-row dequant scales
+    # q:     [B*NQ, dim]   all queries' tokens, flattened
+    # qmask: [B, NQ]       f32
+    # out:   [B, BD]
+    p, bd, dim = vals_ref.shape
+    b, nq = qmask_ref.shape
+    q = q_ref[:]  # [B*NQ, dim]
+
+    def body(row, running):
+        sims = jax.lax.dot_general(
+            q, vals_ref[row].astype(q.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B*NQ, BD]
+        sims = sims * scales_ref[row][None, :]
+        valid = mask_ref[row] > 0
+        sims = jnp.where(valid[None, :], sims, NEG_INF)
+        return jnp.maximum(running, sims)
+
+    running = jax.lax.fori_loop(
+        0, p, body, jnp.full((b * nq, bd), NEG_INF, dtype=jnp.float32))
+    has_rows = jnp.max(mask_ref[:], axis=0, keepdims=True) > 0  # [1, BD]
+    per_q = jnp.where(has_rows, running, 0.0)  # [B*NQ, BD]
+    # per-query token sum: split the sublane dim (lane dim untouched ->
+    # legal reshape), apply qmask broadcast along lanes, reduce middle dim.
+    # (Flattening qmask [b, nq] -> [b*nq] would reshape ACROSS the lane dim
+    # — Mosaic rejects that shape cast.)
+    per_q3 = per_q.reshape(b, nq, bd) * qmask_ref[:][:, :, None]
+    out_ref[:] = jnp.sum(per_q3, axis=1)
+
+
+def auto_block_d(p: int, itemsize: int) -> int:
+    """Largest doc-block lane width keeping the streamed store block under
+    ~6 MB VMEM (the q-chunked running buffers take another ~4-8 MB).
+    Measured at 100k docs, P=12, B=256: bd 128 -> 174 ms, 256 -> 98 ms,
+    512 -> 65 ms, 1024 -> 47 ms per batch (old per-query kernel: 405 ms)."""
+    # 3 MB cap on the streamed store block: Mosaic double-buffers the grid
+    # blocks and the q-chunk running/sims buffers ride alongside, so the real
+    # scoped-VMEM footprint is ~2.5-3x this (16 MB hard limit; bd=1024 at
+    # P=12 OOMed inside the fused two_stage plan at 20.06 MB).
+    # Inside the fused query plans the co-scheduled ops add ~13 MB of scoped
+    # VMEM on top of this kernel's own blocks (measured: bd=512/qc=16 OOMs at
+    # 16.68 of 16 MB in-plan while running clean standalone), so the in-plan
+    # config must stay small: 1 MB store-block budget -> bd=256 at P=12.
+    budget = 1 * 1024 * 1024
+    for bd in (1024, 512, 256, 128):
+        if p * bd * 128 * itemsize <= budget:
+            return bd
+    return 128
+
+
+@functools.partial(jax.jit, static_argnames=("block_d", "q_chunk", "interpret"))
+def pooled_maxsim_scores_qbatch(
+    values_t: jnp.ndarray,  # [P, D, dim] P-leading
+    mask_t: jnp.ndarray,  # [P, D]
+    queries: jnp.ndarray,  # [B, NQ, dim]
+    qmask: jnp.ndarray,  # [B, NQ]
+    scales_t: jnp.ndarray | None = None,
+    block_d: int = 256,
+    q_chunk: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Query-batched stage-1 scores [B, D]: grid over (query chunks, doc
+    blocks) with ``q_chunk`` queries resident per kernel instance. The
+    running max buffer is q_chunk*NQ*BD f32, so q_chunk bounds VMEM."""
+    p, d, dim = values_t.shape
+    b, nq, _ = queries.shape
+    mask_t = jnp.asarray(mask_t, jnp.float32)
+    qmask = jnp.asarray(qmask, jnp.float32)
+    if scales_t is None:
+        scales_t = jnp.ones((p, d), jnp.float32)
+    scales_t = jnp.asarray(scales_t, jnp.float32)
+    n_blocks = int(pl.cdiv(d, block_d))
+    d_pad = n_blocks * block_d
+    if d_pad != d:
+        values_t = jnp.pad(values_t, ((0, 0), (0, d_pad - d), (0, 0)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, d_pad - d)))
+        scales_t = jnp.pad(scales_t, ((0, 0), (0, d_pad - d)))
+    q_chunk = min(q_chunk, b)
+    n_q = int(pl.cdiv(b, q_chunk))
+    b_pad = n_q * q_chunk
+    if b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, 0), (0, 0)))
+        qmask = jnp.pad(qmask, ((0, b_pad - b), (0, 0)))
+    q_dtype = jnp.bfloat16 if values_t.dtype == jnp.int8 else values_t.dtype
+    q_flat = queries.reshape(b_pad * nq, dim).astype(q_dtype)
+    # doc block inner: the streamed store block is reused across the whole
+    # grid row before the next query chunk loads
+    out = pl.pallas_call(
+        _kernel_qbatch,
+        grid=(n_q, n_blocks),
+        in_specs=[
+            pl.BlockSpec((p, block_d, dim), lambda qi, i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, block_d), lambda qi, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, block_d), lambda qi, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_chunk * nq, dim), lambda qi, i: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_chunk, nq), lambda qi, i: (qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (q_chunk, block_d), lambda qi, i: (qi, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, d_pad), jnp.float32),
+        interpret=interpret,
+    )(values_t, mask_t, scales_t, q_flat, qmask)
+    return out[:b, :d]
+
+
 @functools.partial(jax.jit, static_argnames=("block_d", "interpret"))
 def pooled_maxsim_scores(
     values_t: jnp.ndarray,  # [P, D, dim] P-leading (f32/bf16, or int8 codes)

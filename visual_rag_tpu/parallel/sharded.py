@@ -40,7 +40,10 @@ from visual_rag_tpu.index.store import (
     SingleVectors,
 )
 from visual_rag_tpu.ops.kernels.maxsim_rerank import rerank_candidates
-from visual_rag_tpu.ops.kernels.prefetch_topk import pooled_maxsim_scores
+from visual_rag_tpu.ops.kernels.prefetch_topk import (
+    auto_block_d,
+    pooled_maxsim_scores_qbatch,
+)
 from visual_rag_tpu.retrieval import batch as BATCH
 from visual_rag_tpu.retrieval.engine import SEARCH_MODES, _STAGE1_ALIASES
 from visual_rag_tpu.retrieval.filters import PayloadFilter
@@ -208,7 +211,9 @@ def _local_tokens_padded(s1, tokens, qmask, use_pallas):
     vals_t, mask_t = s1["vals_t"], s1["mask_t"]
     scales_t = s1.get("scales_t")  # per-row int8 scales (None for float stores)
     if use_pallas:
-        return pooled_maxsim_scores(vals_t, mask_t, tokens, qmask, scales_t)
+        return pooled_maxsim_scores_qbatch(
+            vals_t, mask_t, tokens, qmask, scales_t, q_chunk=8,
+            block_d=auto_block_d(int(vals_t.shape[0]), vals_t.dtype.itemsize))
     # XLA fallback straight off the P-leading layout
     cd = _compute_dtype_for(vals_t)
     sims = jnp.einsum("bqd,pnd->bqpn", tokens.astype(cd), vals_t.astype(cd),

@@ -28,7 +28,10 @@ from visual_rag_tpu.index.store import (
     SingleVectors,
 )
 from visual_rag_tpu.ops.kernels.maxsim_rerank import rerank_candidates
-from visual_rag_tpu.ops.kernels.prefetch_topk import pooled_maxsim_scores
+from visual_rag_tpu.ops.kernels.prefetch_topk import (
+    auto_block_d,
+    pooled_maxsim_scores_qbatch,
+)
 
 NEG_INF = jnp.float32(-1e30)
 
@@ -256,7 +259,9 @@ class BatchScorer:
         if isinstance(store, PaddedMultiVectors):
             if self.use_pallas:
                 (vals_t, mask_t, scales_t), _ = self._kernel_arrays(name)
-                return pooled_maxsim_scores(vals_t, mask_t, tokens, qmask, scales_t)
+                return pooled_maxsim_scores_qbatch(
+            vals_t, mask_t, tokens, qmask, scales_t, q_chunk=8,
+            block_d=auto_block_d(int(vals_t.shape[0]), vals_t.dtype.itemsize))
             return xla_padded_tokens_batch(
                 store.values, store.mask, tokens, qmask, store.scales,
                 compute_dtype=self.compute_dtype)
