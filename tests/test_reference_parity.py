@@ -318,3 +318,101 @@ class TestMetricsParity:
         assert tpu_metrics.ndcg_at_k(["a"], {}, 5) == ref_metrics.ndcg_at_k(["a"], {}, 5)
         assert tpu_metrics.mrr_at_k(["a"], {}, 5) == ref_metrics.mrr_at_k(["a"], {}, 5)
         assert tpu_metrics.recall_at_k(["a"], {}, 5) == ref_metrics.recall_at_k(["a"], {}, 5)
+
+
+class TestEndToEndRetrievalParity:
+    """The full retrieval stack against the LIVE reference's own scoring:
+    rankings from our engine must equal rankings computed by the reference's
+    compute_maxsim_batch/compute_maxsim_score on the same vectors, and the
+    resulting nDCG/MRR/Recall (reference metrics.py) must match exactly.
+
+    This is the strongest end-to-end quality-parity proof available without
+    network egress: identical embeddings in -> identical rankings and
+    identical metric values out (the remaining gap to ViDoRe parity is only
+    the embedding producer, which needs real weights)."""
+
+    def _corpus(self, n=60, dim=64, seed=11):
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+
+        rng = np.random.default_rng(seed)
+        docs = []
+        for i in range(n):
+            tokens = rng.standard_normal(
+                (int(rng.integers(8, 40)), dim)).astype(np.float32)
+            docs.append(tokens)
+        builder = IndexBuilder(CollectionSchema.standard(
+            storage_dtype="float32", dim=dim))
+        for i, t in enumerate(docs):
+            mp = t[: max(1, t.shape[0] // 4)]
+            builder.add(f"d{i}", {
+                "initial": t, "mean_pooling": mp,
+                "experimental_pooling": mp,
+                "global_pooling": t.mean(axis=0)}, {})
+        return docs, builder.seal()
+
+    def test_single_full_ranking_matches_reference_scoring(self):
+        from visual_rag_tpu.retrieval import RetrievalEngine
+
+        docs, index = self._corpus()
+        engine = RetrievalEngine(index, compute_dtype="float32")
+        rng = np.random.default_rng(3)
+        for trial in range(4):
+            q = rng.standard_normal((int(rng.integers(4, 20)), 64)).astype(np.float32)
+            # reference semantics: stored vectors cosine-normalized (Qdrant),
+            # so feed the reference scorer normalized docs + normalized query
+            nd = [d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-12)
+                  for d in docs]
+            nq = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+            ref_scores = ref_pooling.compute_maxsim_batch(nq, nd, normalize=False)
+            ref_rank = list(np.argsort(-np.asarray(ref_scores), kind="stable"))
+            ours = engine.search_embedded(q, mode="single_full", top_k=len(docs))
+            got = [int(r["id"][1:]) for r in ours]
+            assert got == ref_rank[: len(got)], trial
+            np.testing.assert_allclose(
+                [r["score"] for r in ours],
+                [ref_scores[i] for i in got], rtol=2e-4, atol=2e-4)
+
+    def test_ndcg_pipeline_matches_reference_metrics(self):
+        """Planted-relevance corpus: metrics computed from our engine's
+        rankings with OUR metric fns == reference metric fns, and both == 1.0
+        when retrieval is perfect."""
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+        from visual_rag_tpu.retrieval import RetrievalEngine
+        from visual_rag_tpu.utils import metrics as tpu_metrics
+
+        rng = np.random.default_rng(5)
+        dim = 64
+        queries = [rng.standard_normal((10, dim)).astype(np.float32)
+                   for _ in range(6)]
+        builder = IndexBuilder(CollectionSchema.standard(
+            storage_dtype="float32", dim=dim))
+        qrels = {}
+        for i, q in enumerate(queries):
+            planted = np.concatenate(
+                [np.repeat(q, 3, axis=0),
+                 0.05 * rng.standard_normal((20, dim)).astype(np.float32)])
+            mp = planted[:8]
+            builder.add(f"rel{i}", {
+                "initial": planted, "mean_pooling": mp,
+                "experimental_pooling": mp,
+                "global_pooling": planted.mean(axis=0)}, {})
+            qrels[f"q{i}"] = {f"rel{i}": 1}
+        for j in range(20):
+            noise = rng.standard_normal((30, dim)).astype(np.float32)
+            builder.add(f"n{j}", {
+                "initial": noise, "mean_pooling": noise[:8],
+                "experimental_pooling": noise[:8],
+                "global_pooling": noise.mean(axis=0)}, {})
+        engine = RetrievalEngine(builder.seal(), compute_dtype="float32")
+        for i, q in enumerate(queries):
+            res = engine.search_embedded(q, mode="two_stage", top_k=10,
+                                         prefetch_k=26)
+            ranking = [r["id"] for r in res]
+            rels = qrels[f"q{i}"]
+            for k in (1, 5, 10):
+                ours = tpu_metrics.ndcg_at_k(ranking, rels, k)
+                theirs = ref_metrics.ndcg_at_k(ranking, rels, k)
+                assert ours == pytest.approx(theirs, abs=1e-12)
+                assert ours == pytest.approx(1.0)  # planted doc ranks first
+                assert (tpu_metrics.mrr_at_k(ranking, rels, k)
+                        == pytest.approx(ref_metrics.mrr_at_k(ranking, rels, k)))

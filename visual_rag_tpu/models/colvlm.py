@@ -56,6 +56,8 @@ class VisionConfig:
     patch_bias: bool = True  # Qwen2.5-VL patch embed is a bias-free Conv3d
     learned_pos: bool = True  # Qwen2.5-VL has no learned pos table (2D RoPE)
     post_ln: bool = True  # Qwen2.5-VL has no final vision LayerNorm
+    rope_2d: bool = False  # Qwen2.5-VL 2D rotary over (row, col) positions
+    rope_theta: float = 10000.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,7 +146,7 @@ class ColVLMConfig:
                                 full_attn_layers=(7, 15, 23, 31),
                                 attn_bias=True, mlp_gated=True, rms_norm=True,
                                 patch_bias=False, learned_pos=False,
-                                post_ln=False),
+                                post_ln=False, rope_2d=True),
             text=TextConfig(hidden=2048, layers=36, heads=16, kv_heads=2,
                             mlp_hidden=11008, vocab=151936, rope_theta=1000000.0,
                             attn_qkv_bias=True),
@@ -180,6 +182,27 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     ).astype(x.dtype)
 
 
+def _rope_2d(x, pos2d, theta: float):
+    """Qwen2/2.5-VL vision rotary: head_dim/4 frequencies per axis,
+    freqs = cat(freqs_row, freqs_col) repeated twice, rotate-half applied in
+    f32 (transformers apply_rotary_pos_emb_vision, verified against 4.57).
+
+    x: [B, T, H, dh]; pos2d: [B, T, 2] int (row, col).
+    """
+    dh = x.shape[-1]
+    half = dh // 2
+    inv = 1.0 / (theta ** (jnp.arange(0, half, 2, dtype=jnp.float32) / half))
+    fr = pos2d[..., 0:1].astype(jnp.float32) * inv[None, None, :]  # [B, T, dh/4]
+    fc = pos2d[..., 1:2].astype(jnp.float32) * inv[None, None, :]
+    freqs = jnp.concatenate([fr, fc], axis=-1)  # [B, T, dh/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)[:, :, None, :]  # [B, T, 1, dh]
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    x32 = x.astype(jnp.float32)
+    x1, x2 = x32[..., :half], x32[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x32 * cos + rotated * sin).astype(x.dtype)
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-6
     # Gemma parametrization: output = norm(x) * (1 + w), stored w init 0.
@@ -210,8 +233,11 @@ class GQAttention(nn.Module):
     qkv_bias: bool = False  # SigLIP/Qwen-ViT and Qwen text carry q/k/v biases
     out_bias: bool = False  # SigLIP/Qwen-ViT carry an output-proj bias
 
+    rope_2d_theta: Optional[float] = None  # set -> 2D vision rotary
+
     @nn.compact
-    def __call__(self, x, mask, positions=None, segments=None):
+    def __call__(self, x, mask, positions=None, segments=None,
+                 positions_2d=None):
         from visual_rag_tpu.models.attention import mha
 
         b, t, h = x.shape
@@ -223,7 +249,10 @@ class GQAttention(nn.Module):
         q = q.reshape(b, t, self.heads, dh)
         k = k.reshape(b, t, self.kv_heads, dh)
         v = v.reshape(b, t, self.kv_heads, dh)
-        if self.rope_theta is not None:
+        if self.rope_2d_theta is not None and positions_2d is not None:
+            q = _rope_2d(q, positions_2d, self.rope_2d_theta)
+            k = _rope_2d(k, positions_2d, self.rope_2d_theta)
+        elif self.rope_theta is not None:
             if positions is None:
                 positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
             q = _rope(q, positions, self.rope_theta)
@@ -394,7 +423,7 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, mask, segments=None):
+    def __call__(self, x, mask, segments=None, positions_2d=None):
         def norm(name):
             if self.cfg.rms_norm:  # Qwen2.5-VL ViT
                 return RMSNorm(name=name)
@@ -404,7 +433,8 @@ class ViTBlock(nn.Module):
             heads=self.cfg.heads, kv_heads=self.cfg.heads, rope_theta=None,
             causal=False, dtype=self.dtype, name="attn",
             qkv_bias=self.cfg.attn_bias, out_bias=self.cfg.attn_bias,
-        )(norm("ln1")(x), mask, segments=segments)
+            rope_2d_theta=(self.cfg.rope_theta if self.cfg.rope_2d else None),
+        )(norm("ln1")(x), mask, segments=segments, positions_2d=positions_2d)
         y = norm("ln2")(h)
         if self.cfg.mlp_gated:  # Qwen2.5-VL: biased SwiGLU
             y = SwiGLU(int(self.cfg.hidden * self.cfg.mlp_ratio),
@@ -422,7 +452,8 @@ class VisionTower(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, patches, patch_mask, window_ids=None):
+    def __call__(self, patches, patch_mask, window_ids=None,
+                 patch_positions=None):
         # patches: [B, N, patch_pixels] flattened pixel patches
         b, n, _ = patches.shape
         if n > self.cfg.max_patches:
@@ -449,7 +480,7 @@ class VisionTower(nn.Module):
             if windowed and i not in self.cfg.full_attn_layers:
                 seg = window_ids
             x = ViTBlock(self.cfg, dtype=self.dtype, name=f"block_{i}")(
-                x, patch_mask, segments=seg)
+                x, patch_mask, segments=seg, positions_2d=patch_positions)
         if not self.cfg.post_ln:  # Qwen2.5-VL: merger's ln_q does the norm
             return x
         return nn.LayerNorm(dtype=self.dtype, name="post_ln")(x)
@@ -516,9 +547,10 @@ class ColVLM(nn.Module):
         self.proj = nn.Dense(self.cfg.embed_dim, use_bias=self.cfg.proj_bias,
                              dtype=dtype, name="embedding_proj")
 
-    def encode_images(self, patches, patch_mask, window_ids=None):
+    def encode_images(self, patches, patch_mask, window_ids=None,
+                      patch_positions=None):
         """[B, N, patch_pixels] -> [B, N', text_hidden] image token embeddings."""
-        feats = self.vision(patches, patch_mask, window_ids)
+        feats = self.vision(patches, patch_mask, window_ids, patch_positions)
         if self.cfg.spatial_merge > 1:
             return self.merger(feats)
         sps = self.cfg.vision.pixel_shuffle
@@ -554,7 +586,7 @@ class ColVLM(nn.Module):
         return e * mask[..., None].astype(jnp.float32)
 
     def __call__(self, input_ids, attn_mask, patches=None, patch_mask=None,
-                 window_ids=None):
+                 window_ids=None, patch_positions=None):
         """Forward pages (ids containing image placeholders) or plain queries.
 
         input_ids: [B, L]; image placeholder positions (== cfg.image_token_id)
@@ -563,7 +595,8 @@ class ColVLM(nn.Module):
         """
         x = self.tok_embed(input_ids)
         if patches is not None:
-            img = self.encode_images(patches, patch_mask, window_ids)  # [B, Ni, H]
+            img = self.encode_images(patches, patch_mask, window_ids,
+                                     patch_positions)  # [B, Ni, H]
             if self.cfg.text.embed_scale:
                 # PaliGemma: image features are pre-divided by sqrt(hidden) so
                 # the Gemma-wide sqrt(hidden) embed scaling nets out to 1.
@@ -583,5 +616,6 @@ class ColVLM(nn.Module):
         return self(input_ids, attn_mask)
 
     def embed_pages(self, input_ids, attn_mask, patches, patch_mask,
-                    window_ids=None):
-        return self(input_ids, attn_mask, patches, patch_mask, window_ids)
+                    window_ids=None, patch_positions=None):
+        return self(input_ids, attn_mask, patches, patch_mask, window_ids,
+                    patch_positions)

@@ -123,8 +123,8 @@ class VisualEmbedder:
         self._jit_queries = jax.jit(
             lambda p, ids, mask: self.model.apply(p, ids, mask))
         self._jit_pages = jax.jit(
-            lambda p, ids, mask, patches, pmask, wids: self.model.apply(
-                p, ids, mask, patches, pmask, wids))
+            lambda p, ids, mask, patches, pmask, wids, ppos: self.model.apply(
+                p, ids, mask, patches, pmask, wids, ppos))
 
     # -- parameters (lazy init like the reference's lazy model load) --------
 
@@ -227,6 +227,8 @@ class VisualEmbedder:
         for s in range(0, len(images), batch_size):
             proc = self.processor.process_images(list(images[s : s + batch_size]))
             wids = None if proc.window_ids is None else jnp.asarray(proc.window_ids)
+            ppos = (None if proc.patch_positions is None
+                    else jnp.asarray(proc.patch_positions))
             # fp16 wire format for patches: pixel data in [0,1] loses nothing
             # at 2^-11 precision and the host->device transfer (the ingest
             # bottleneck over a tunneled TPU: 36 MB/batch fp32 at 3k patches)
@@ -235,7 +237,7 @@ class VisualEmbedder:
                 self.params,
                 jnp.asarray(proc.input_ids), jnp.asarray(proc.attn_mask),
                 jnp.asarray(proc.patches.astype(np.float16)),
-                jnp.asarray(proc.patch_mask), wids)
+                jnp.asarray(proc.patch_mask), wids, ppos)
             if pending is not None:
                 drain(*pending)
             pending = (out, proc)

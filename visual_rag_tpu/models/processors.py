@@ -103,6 +103,7 @@ class ProcessedImages:
     attn_mask: np.ndarray  # [B, L] bool
     token_infos: List[Dict[str, Any]]
     window_ids: Optional[np.ndarray] = None  # [B, N] int32 (-1 = pad); Qwen windows
+    patch_positions: Optional[np.ndarray] = None  # [B, N, 2] int32; Qwen 2D RoPE
 
 
 class ImageProcessor:
@@ -189,17 +190,34 @@ class ImageProcessor:
         gh, gw = 2 * h_eff, 2 * w_eff  # pre-merge patch grid
         canvas = _resize_nn(image, gh * self.patch_side, gw * self.patch_side)
         patches = self._patchify(canvas, gh, gw)
-        # Qwen2.5-VL window attention: 8x8 pre-merge patch windows, row-major
+        # HF Qwen2/2.5-VL emit patches in MERGE-BLOCK order — consecutive
+        # m*m patches form one 2x2 spatial merge window (rot_pos_emb's
+        # (h/m, m, w/m, m) permute). The PatchMerger's [N/m2, m2*H] grouping
+        # and the 2D rotary positions both depend on this order, so real
+        # checkpoints require it exactly.
+        m = 2
+        hpos = np.repeat(np.arange(gh), gw).reshape(gh, gw)
+        wpos = np.tile(np.arange(gw), (gh, 1))
+
+        def merge_order(a):
+            return a.reshape(gh // m, m, gw // m, m).transpose(0, 2, 1, 3).reshape(-1)
+
+        hp, wp = merge_order(hpos), merge_order(wpos)
+        perm = hp * gw + wp  # row-major index of each output slot
+        patches = patches[perm]
+        positions = np.stack([hp, wp], axis=-1).astype(np.int32)  # [N, 2]
+        # Qwen2.5-VL window attention: 8x8 ORIGINAL-patch windows
+        # (vit window 112px / merge 2 / patch 14 = 4 merged cells = 8 patches)
         w = 8
-        rr = np.arange(gh)[:, None] // w
-        cc = np.arange(gw)[None, :] // w
-        self._last_window_ids = (rr * (-(-gw // w)) + cc).reshape(-1).astype(np.int32)
+        self._last_window_ids = (
+            (hp // w) * (-(-gw // w)) + (wp // w)).astype(np.int32)
         info = {
             "n_rows": None, "n_cols": None, "num_tiles": None,
             "num_visual_tokens": h_eff * w_eff,
             "grid_t": 1, "grid_h": gh, "grid_w": gw,
             "grid_h_eff": h_eff, "grid_w_eff": w_eff,
             "_window_ids": self._last_window_ids,
+            "_patch_positions": positions,
         }
         return patches, info
 
@@ -249,22 +267,29 @@ class ImageProcessor:
         attn_mask = np.zeros((b, seq), dtype=bool)
         has_segments = any(info.get("_window_ids") is not None for _, info in per_image)
         window_ids = np.full((b, n_patches), -1, dtype=np.int32) if has_segments else None
+        has_pos = any(info.get("_patch_positions") is not None for _, info in per_image)
+        patch_positions = (np.zeros((b, n_patches, 2), dtype=np.int32)
+                           if has_pos else None)
         infos = []
         for i, (p, info) in enumerate(per_image):
             patches[i, : p.shape[0]] = p
             patch_mask[i, : p.shape[0]] = True
             if window_ids is not None and info.get("_window_ids") is not None:
                 window_ids[i, : p.shape[0]] = info.pop("_window_ids")
+            if patch_positions is not None and info.get("_patch_positions") is not None:
+                patch_positions[i, : p.shape[0]] = info.pop("_patch_positions")
             nv = info["num_visual_tokens"]
             input_ids[i, :nv] = self.image_token_id
             input_ids[i, nv : nv + len(prompt_ids)] = prompt_ids
             attn_mask[i, : nv + len(prompt_ids)] = True
             info = dict(info)
             info.pop("_window_ids", None)
+            info.pop("_patch_positions", None)
             info["visual_token_indices"] = list(range(nv))
             infos.append(info)
         return ProcessedImages(patches, patch_mask, input_ids, attn_mask, infos,
-                               window_ids=window_ids)
+                               window_ids=window_ids,
+                               patch_positions=patch_positions)
 
     def process_queries(self, texts: Sequence[str], max_len: Optional[int] = None):
         ids, mask = self.tokenizer.batch_encode(
