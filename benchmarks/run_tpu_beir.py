@@ -272,15 +272,23 @@ def evaluate(
         f"{m}@{k}": [] for m in ("ndcg", "mrr", "recall") for k in k_values}
     latencies: List[float] = []
     t_search = time.time()
-    for s in range(0, len(queries), query_batch_size):
-        chunk_q = queries[s : s + query_batch_size]
-        chunk_e = q_embs[s : s + query_batch_size]
-        t0 = time.time()
-        batch_res = engine.search_embedded_batch(
-            chunk_e, mode=mode, top_k=top_k, prefetch_k=prefetch_k,
-            stage1_mode=stage1_mode, stage1_k=stage1_k, stage2_k=stage2_k,
-            filter_obj=filter_obj, with_payload=False)
-        dt = time.time() - t0
+    chunks = [(queries[s : s + query_batch_size], q_embs[s : s + query_batch_size])
+              for s in range(0, len(queries), query_batch_size)]
+    search_kw = dict(mode=mode, top_k=top_k, prefetch_k=prefetch_k,
+                     stage1_mode=stage1_mode, stage1_k=stage1_k,
+                     stage2_k=stage2_k, filter_obj=filter_obj,
+                     with_payload=False)
+    if hasattr(engine, "search_embedded_batches"):
+        # pipelined: batch i+1 dispatches while batch i's results fetch
+        result_iter = engine.search_embedded_batches(
+            (e for _, e in chunks), **search_kw)
+    else:  # ShardedEngine: sequential batches
+        result_iter = (engine.search_embedded_batch(e, **search_kw)
+                       for _, e in chunks)
+    t_prev = time.time()
+    for (chunk_q, _), batch_res in zip(chunks, result_iter):
+        dt = time.time() - t_prev
+        t_prev = time.time()
         latencies.extend([dt / len(chunk_q)] * len(chunk_q))
         for q, res in zip(chunk_q, batch_res):
             ranking = [r["id"] for r in res]
