@@ -20,6 +20,16 @@ from demo.config import BENCHMARK_DATASETS, DATASET_STATS, RETRIEVAL_MODES
 
 def render_benchmark_tab(state):
     st.subheader("ViDoRe v2 benchmarking")
+    run_tab, results_tab = st.tabs(["Run", "Results"])
+    with results_tab:
+        from demo.results import render_results_section
+
+        render_results_section(st, state.get("output_dir", "results"))
+    with run_tab:
+        _render_run_section(state)
+
+
+def _render_run_section(state):
     datasets = st.multiselect("Datasets", BENCHMARK_DATASETS,
                               default=BENCHMARK_DATASETS[:1])
     for d in datasets:

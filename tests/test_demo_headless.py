@@ -141,3 +141,32 @@ class TestStreamlitStubImport:
                     "demo.ui.upload", "demo.ui.sidebar", "demo.app"):
             sys.modules.pop(mod, None)
             __import__(mod)
+
+
+class TestResultsDiscovery:
+    def test_discovery_and_summary(self, tmp_path):
+        import json
+
+        from demo.results import (
+            find_main_result_file,
+            get_available_results,
+            summarize_results,
+        )
+
+        d = tmp_path / "coll"
+        d.mkdir()
+        (d / "demo_eval__ds1.json").write_text(json.dumps({
+            "dataset": "ds1", "collection": "coll", "mode": "two_stage",
+            "metrics": {"ndcg@5": 0.91, "ndcg@10": 0.93, "recall@10": 0.95},
+            "qps": 123.4, "p95_latency_ms": 8.7}))
+        (d / "index_failures__ds1.jsonl.json").write_text("{}")
+        (d / "broken.json").write_text("{not json")
+        paths = get_available_results(tmp_path)
+        assert {p.name for p in paths} == {"demo_eval__ds1.json", "broken.json"}
+        rows = summarize_results(paths)
+        assert rows == [{
+            "file": "demo_eval__ds1.json", "dataset": "ds1",
+            "collection": "coll", "mode": "two_stage", "ndcg@5": 0.91,
+            "ndcg@10": 0.93, "recall@10": 0.95, "qps": 123.4, "p95_ms": 8.7}]
+        assert find_main_result_file("coll", "two_stage",
+                                     tmp_path).name == "demo_eval__ds1.json"
