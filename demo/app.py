@@ -14,6 +14,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import streamlit as st  # noqa: E402
 
 from demo.ui.benchmark import render_benchmark_tab  # noqa: E402
+from demo.ui.header import render_header  # noqa: E402
 from demo.ui.playground import render_playground_tab  # noqa: E402
 from demo.ui.sidebar import render_sidebar  # noqa: E402
 from demo.ui.upload import render_upload_tab  # noqa: E402
@@ -22,7 +23,7 @@ from demo.ui.upload import render_upload_tab  # noqa: E402
 def main():
     st.set_page_config(
         page_title="Visual RAG (TPU)", page_icon="📄", layout="wide")
-    st.title("Visual RAG — TPU-native late-interaction retrieval")
+    render_header()
     state = render_sidebar()
     tab_upload, tab_play, tab_bench = st.tabs(
         ["Upload & Index", "Playground", "Benchmarking"])
