@@ -324,3 +324,50 @@ class TestStage1Cut:
         points, engine, _, _ = corpus
         with pytest.raises(ValueError, match="stage1_cut"):
             RetrievalEngine(engine.index, stage1_cut="bogus")
+
+
+class TestApproxCutQuality:
+    """Planted-relevance corpus searched with the approx stage-1 cut forced:
+    relevant docs must still rank first (the approx cut only risks dropping
+    near-tie candidates deep in the prefetch tail, not clear winners)."""
+
+    def test_planted_docs_survive_approx_cut(self):
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+
+        rng = np.random.default_rng(12)
+        dim = 32
+        queries = [rng.standard_normal((8, dim)).astype(np.float32)
+                   for _ in range(5)]
+        builder = IndexBuilder(CollectionSchema.standard(
+            storage_dtype="float32", dim=dim))
+        for i, q in enumerate(queries):
+            planted = np.concatenate(
+                [np.repeat(q, 2, axis=0),
+                 0.1 * rng.standard_normal((14, dim)).astype(np.float32)])
+            # pooled stage-1 signal: the query MEAN must appear in the pooled
+            # rows (mean-of-8-random-tokens vs one token is only ~0.35 cosine)
+            mp = np.concatenate([q.mean(axis=0, keepdims=True), planted[:3]])
+            builder.add(f"rel{i}", {
+                "initial": planted, "mean_pooling": mp,
+                "experimental_pooling": mp,
+                "global_pooling": q.mean(axis=0)}, {})
+        for j in range(200):
+            noise = rng.standard_normal((16, dim)).astype(np.float32)
+            builder.add(f"n{j}", {
+                "initial": noise, "mean_pooling": noise[:4],
+                "experimental_pooling": noise[:4],
+                "global_pooling": noise.mean(axis=0)}, {})
+        engine = RetrievalEngine(builder.seal(), compute_dtype="float32",
+                                 stage1_cut="approx")
+        for i, q in enumerate(queries):
+            res = engine.search_embedded(q, mode="two_stage", top_k=5,
+                                         prefetch_k=20)
+            assert res[0]["id"] == f"rel{i}", (i, [r["id"] for r in res[:3]])
+            res3 = engine.search_embedded(q, mode="three_stage", top_k=5,
+                                          stage1_k=40, stage2_k=20)
+            assert res3[0]["id"] == f"rel{i}"
+        batch = engine.search_embedded_batch(
+            queries, mode="two_stage", top_k=3, prefetch_k=20,
+            with_payload=False)
+        for i, res in enumerate(batch):
+            assert res[0]["id"] == f"rel{i}"
