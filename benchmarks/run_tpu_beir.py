@@ -253,8 +253,15 @@ def evaluate(
     query_batch_size: int = 32,
     sample_queries: Optional[int] = None,
     k_values: Sequence[int] = K_VALUES,
+    progress_cb=None,
 ) -> Dict[str, Any]:
-    """Evaluate one dataset; returns the metrics report dict."""
+    """Evaluate one dataset; returns the metrics report dict.
+
+    ``progress_cb(done, total, running)`` fires after each query batch with
+    the running metric means — the demo streams these live; the CLI ignores
+    them. The metric loop lives ONLY here so demo-reported and
+    harness-reported numbers can never drift.
+    """
     qrels = remap_and_prune_qrels(dataset, collection, engine.index.manifest)
     queries = [q for q in dataset.queries if q.query_id in qrels]
     if sample_queries:
@@ -297,6 +304,12 @@ def evaluate(
                 per_query_metrics[f"ndcg@{k}"].append(ndcg_at_k(ranking, rels, k))
                 per_query_metrics[f"mrr@{k}"].append(mrr_at_k(ranking, rels, k))
                 per_query_metrics[f"recall@{k}"].append(recall_at_k(ranking, rels, k))
+        if progress_cb is not None:
+            done = len(per_query_metrics[f"ndcg@{k_values[0]}"])
+            progress_cb(done, len(queries), {
+                "ndcg@5": float(np.mean(per_query_metrics.get("ndcg@5", [0.0]))),
+                "avg_latency_ms": float(np.mean(latencies) * 1000),
+            })
     search_time = time.time() - t_search
 
     # True sequential single-query latency on a sample (the batched numbers

@@ -8,11 +8,8 @@ drive it headlessly and the streamlit tab passes ``st`` straight through.
 
 from __future__ import annotations
 
-import time
 from pathlib import Path
-from typing import Any, Dict, List, Optional
-
-import numpy as np
+from typing import Any, Dict, List
 
 
 class HeadlessUI:
@@ -80,30 +77,18 @@ def run_evaluation_with_ui(config: Dict[str, Any], ui=None,
     """Phased evaluation with live per-batch NDCG/latency (reference :96-302).
 
     Phases: 1) model, 2) engine over the saved collection, 3) per-dataset
-    query loop streaming running metrics, 4) final table + JSON reports.
-    Returns the list of per-dataset report dicts.
+    evaluation DELEGATED to benchmarks.run_tpu_beir.evaluate (the metric loop
+    lives only there, so demo numbers can never drift from harness numbers)
+    with a progress callback streaming running metrics, 4) final summary +
+    JSON reports.
     """
     if ui is None:  # pragma: no cover - UI path
         import streamlit as ui  # type: ignore
 
     from benchmarks.dataset_loader import load_vidore_dataset_auto
-    from benchmarks.run_tpu_beir import remap_and_prune_qrels, write_json_atomic
-    from visual_rag_tpu.retrieval import build_filter
-    from visual_rag_tpu.utils.metrics import mrr_at_k, ndcg_at_k, recall_at_k
+    from benchmarks.run_tpu_beir import evaluate, write_json_atomic
 
     collection = config["collection"]
-    mode = config.get("mode", "two_stage")
-    scope = config.get("evaluation_scope", "union")
-    top_k = int(config.get("top_k", 100))
-    batch_size = int(config.get("query_batch_size", 32))
-    k_values = tuple(config.get("k_values", (1, 5, 10, 100)))
-    search_kw = dict(
-        mode=mode, top_k=top_k,
-        prefetch_k=config.get("prefetch_k", 200),
-        stage1_mode=config.get("stage1_mode", "tokens_vs_standard_pooling"),
-        stage1_k=config.get("stage1_k", 1000),
-        stage2_k=config.get("stage2_k", 300),
-        with_payload=False)
 
     ui.markdown("##### Phase 1: Loading model")
     if embedder is None:  # pragma: no cover - heavy path, tests inject
@@ -122,69 +107,44 @@ def run_evaluation_with_ui(config: Dict[str, Any], ui=None,
     ui.success(f"Engine ready: {engine.index.num_docs} docs")
 
     reports: List[Dict[str, Any]] = []
-    datasets = config.get("datasets", [])
     out_dir = Path(config.get("output_dir", "results")) / collection
-    for name in datasets:
-        ui.markdown(f"##### Phase 3: Evaluating {name}")
+    for name in config.get("datasets", []):
         ds = name if not isinstance(name, str) else load_vidore_dataset_auto(name)
-        name = ds.name
-        qrels = remap_and_prune_qrels(ds, collection, engine.index.manifest)
-        queries = [q for q in ds.queries if q.query_id in qrels]
-        if config.get("sample_queries"):
-            queries = queries[: int(config["sample_queries"])]
-        if not queries:
-            ui.warning(f"{name}: no queries with in-collection qrels")
-            continue
-        filter_obj = (build_filter(extra={"dataset": ds.name})
-                      if scope == "per_dataset" else None)
-        q_embs = embedder.embed_queries([q.text for q in queries])
-
-        per_query: Dict[str, List[float]] = {
-            f"{m}@{k}": [] for m in ("ndcg", "mrr", "recall") for k in k_values}
-        latencies: List[float] = []
+        ui.markdown(f"##### Phase 3: Evaluating {ds.name}")
         status = ui.empty()
         prog = ui.progress(0.0)
-        t_search = time.time()
-        for s in range(0, len(queries), batch_size):
-            chunk_q = queries[s : s + batch_size]
-            t0 = time.time()
-            batch_res = engine.search_embedded_batch(
-                q_embs[s : s + batch_size], filter_obj=filter_obj, **search_kw)
-            dt = time.time() - t0
-            latencies.extend([dt / len(chunk_q)] * len(chunk_q))
-            for q, res in zip(chunk_q, batch_res):
-                ranking = [r["id"] for r in res]
-                rels = qrels[q.query_id]
-                for k in k_values:
-                    per_query[f"ndcg@{k}"].append(ndcg_at_k(ranking, rels, k))
-                    per_query[f"mrr@{k}"].append(mrr_at_k(ranking, rels, k))
-                    per_query[f"recall@{k}"].append(recall_at_k(ranking, rels, k))
-            done = min(s + batch_size, len(queries))
+
+        def on_progress(done, total, running, _name=ds.name,
+                        _status=status, _prog=prog):
             # LIVE running metrics after every batch (reference :255-302)
-            run_ndcg5 = float(np.mean(per_query["ndcg@5"]))
-            run_lat = float(np.mean(latencies)) * 1000
-            status.info(
-                f"{name}: {done}/{len(queries)} queries | running nDCG@5 "
-                f"{run_ndcg5:.4f} | avg latency {run_lat:.1f} ms")
-            prog.progress(done / len(queries))
-        search_time = time.time() - t_search
-        lat = np.asarray(latencies)
-        report = {
-            "dataset": name, "collection": collection, "mode": mode,
-            "scope": scope, "num_queries": len(queries),
-            "num_docs": engine.index.num_docs,
-            "metrics": {k: float(np.mean(v)) for k, v in per_query.items()},
-            "avg_latency_ms": float(lat.mean() * 1000),
-            "p95_latency_ms": float(np.percentile(lat, 95) * 1000),
-            "qps": float(len(queries) / search_time) if search_time else 0.0,
-            "config": {k: v for k, v in config.items()
-                       if isinstance(v, (str, int, float, bool, list))},
-        }
+            _status.info(
+                f"{_name}: {done}/{total} queries | running nDCG@5 "
+                f"{running['ndcg@5']:.4f} | avg latency "
+                f"{running['avg_latency_ms']:.1f} ms")
+            _prog.progress(done / max(total, 1))
+
+        report = evaluate(
+            ds, embedder, engine, collection,
+            mode=config.get("mode", "two_stage"),
+            stage1_mode=config.get("stage1_mode", "tokens_vs_standard_pooling"),
+            prefetch_k=config.get("prefetch_k", 200),
+            stage1_k=config.get("stage1_k", 1000),
+            stage2_k=config.get("stage2_k", 300),
+            top_k=int(config.get("top_k", 100)),
+            scope=config.get("evaluation_scope", "union"),
+            query_batch_size=int(config.get("query_batch_size", 32)),
+            sample_queries=config.get("sample_queries"),
+            progress_cb=on_progress)
+        if not report.get("num_queries"):
+            ui.warning(f"{ds.name}: no queries with in-collection qrels")
+            continue
+        report["config"] = {k: v for k, v in config.items()
+                           if isinstance(v, (str, int, float, bool, list))}
         reports.append(report)
         ui.success(
-            f"{name}: nDCG@5 {report['metrics']['ndcg@5']:.4f} | "
+            f"{ds.name}: nDCG@5 {report['metrics']['ndcg@5']:.4f} | "
             f"p95 {report['p95_latency_ms']:.1f} ms | {report['qps']:.1f} QPS")
         if config.get("save_reports", True):
-            write_json_atomic(out_dir / f"demo_eval__{name}.json", report)
+            write_json_atomic(out_dir / f"demo_eval__{ds.name}.json", report)
     ui.markdown("##### Done")
     return reports

@@ -371,3 +371,17 @@ class TestApproxCutQuality:
             with_payload=False)
         for i, res in enumerate(batch):
             assert res[0]["id"] == f"rel{i}"
+
+
+class TestThreeStageKClamp:
+    def test_stage1_smaller_than_stage2_and_topk(self, corpus):
+        """Regression (self-review r2): stage1_k < stage2_k with
+        top_k > stage1_k crashed the fused batch plan (final top_k larger
+        than the clamped stage-2 pool) while the per-query path worked."""
+        points, engine, _, query = corpus
+        per_query = engine.search_embedded(
+            query, mode="three_stage", stage1_k=5, stage2_k=40, top_k=20)
+        batch = engine.search_embedded_batch(
+            [query], mode="three_stage", stage1_k=5, stage2_k=40, top_k=20)[0]
+        assert len(per_query) == len(batch) == 5
+        assert [r["id"] for r in batch] == [r["id"] for r in per_query]

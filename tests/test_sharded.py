@@ -173,3 +173,14 @@ class TestStorageDtypePreserved:
             for sr, rr in zip(sharded, reference):
                 assert [r["id"] for r in sr] == [r["id"] for r in rr], (
                     storage_dtype, mode)
+
+
+class TestThreeStageKClampSharded:
+    def test_stage1_smaller_than_stage2_and_topk(self, setup):
+        engine, sengine, queries = setup
+        a = sengine.search_embedded_batch(
+            queries[:1], mode="three_stage", stage1_k=5, stage2_k=40, top_k=20)
+        b = engine.search_embedded_batch(
+            queries[:1], mode="three_stage", stage1_k=5, stage2_k=40, top_k=20)
+        assert [r["id"] for r in a[0]] == [r["id"] for r in b[0]]
+        assert len(a[0]) == 5

@@ -306,6 +306,10 @@ def read_store(path, verify: bool = False) -> Dict[str, np.ndarray]:
     if bytes(buf[:5]) != b"VRAG1":
         raise ValueError(f"{path} is not a VRAG1 store")
     n = int(np.frombuffer(buf[8:12].tobytes(), dtype=np.uint32)[0])
+    # Minimum section size is ~26 header bytes; a crafted count larger than
+    # the file could hold would otherwise drive huge TOC allocations below.
+    if n > max(0, (buf.shape[0] - 16)) // 26 + 1:
+        raise ValueError(f"{path} is corrupt (impossible section count {n})")
     out: Dict[str, np.ndarray] = {}
     lib = _load_lib()
     if lib is not None:
@@ -334,7 +338,10 @@ def read_store(path, verify: bool = False) -> Dict[str, np.ndarray]:
             data = buf[do : do + dl]
             if verify and lib.vrs_crc32(data.ctypes.data, dl) != int(crcs[i]):
                 raise ValueError(f"crc mismatch in section {name!r} of {path}")
-            out[name] = data.view(_CODE_DTYPES[int(dtypes[i])]).reshape(shape)
+            code = int(dtypes[i])
+            if code not in _CODE_DTYPES:
+                raise ValueError(f"{path}: unknown dtype code {code} in {name!r}")
+            out[name] = data.view(_CODE_DTYPES[code]).reshape(shape)
         return out
     p = 16
     total = buf.shape[0]
@@ -357,6 +364,8 @@ def read_store(path, verify: bool = False) -> Dict[str, np.ndarray]:
         data = buf[p : p + nbytes]
         if verify and _crc32(data.tobytes()) != crc:
             raise ValueError(f"crc mismatch in section {name!r} of {path}")
+        if code not in _CODE_DTYPES:
+            raise ValueError(f"{path}: unknown dtype code {code} in {name!r}")
         out[name] = data.view(_CODE_DTYPES[code]).reshape(shape)
         p += nbytes
         p = (p + 7) & ~7

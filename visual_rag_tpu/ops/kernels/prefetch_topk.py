@@ -109,7 +109,7 @@ def _kernel_qbatch(vals_ref, mask_ref, scales_ref, q_ref, qmask_ref, out_ref):
     out_ref[:] = jnp.sum(per_q3, axis=1)
 
 
-def auto_block_d(p: int, itemsize: int) -> int:
+def auto_block_d(p: int, itemsize: int, dim: int = 128) -> int:
     """Largest doc-block lane width keeping the streamed store block under
     ~6 MB VMEM (the q-chunked running buffers take another ~4-8 MB).
     Measured at 100k docs, P=12, B=256: bd 128 -> 174 ms, 256 -> 98 ms,
@@ -124,7 +124,7 @@ def auto_block_d(p: int, itemsize: int) -> int:
     # config must stay small: 1 MB store-block budget -> bd=256 at P=12.
     budget = 1 * 1024 * 1024
     for bd in (1024, 512, 256, 128):
-        if p * bd * 128 * itemsize <= budget:
+        if p * bd * dim * itemsize <= budget:
             return bd
     return 128
 

@@ -45,7 +45,11 @@ from visual_rag_tpu.ops.kernels.prefetch_topk import (
     pooled_maxsim_scores_qbatch,
 )
 from visual_rag_tpu.retrieval import batch as BATCH
-from visual_rag_tpu.retrieval.engine import SEARCH_MODES, _STAGE1_ALIASES
+from visual_rag_tpu.retrieval.engine import (
+    SEARCH_MODES,
+    EngineCommon,
+    _STAGE1_ALIASES,
+)
 from visual_rag_tpu.retrieval.filters import PayloadFilter
 
 try:  # jax >= 0.6 exposes shard_map at top level
@@ -213,7 +217,8 @@ def _local_tokens_padded(s1, tokens, qmask, use_pallas):
     if use_pallas:
         return pooled_maxsim_scores_qbatch(
             vals_t, mask_t, tokens, qmask, scales_t, q_chunk=8,
-            block_d=auto_block_d(int(vals_t.shape[0]), vals_t.dtype.itemsize))
+            block_d=auto_block_d(int(vals_t.shape[0]), vals_t.dtype.itemsize,
+                                 int(vals_t.shape[-1])))
     # XLA fallback straight off the P-leading layout
     cd = _compute_dtype_for(vals_t)
     sims = jnp.einsum("bqd,pnd->bqpn", tokens.astype(cd), vals_t.astype(cd),
@@ -329,7 +334,7 @@ def _strip(tree):
 # ---------------------------------------------------------------------------
 
 
-class ShardedEngine:
+class ShardedEngine(EngineCommon):
     """Batched query API over a ShardedIndex (mirrors RetrievalEngine)."""
 
     def __init__(
@@ -355,18 +360,13 @@ class ShardedEngine:
         self.stage1_cut = stage1_cut
         self._plans: Dict[Any, Any] = {}
 
-    APPROX_CUT_MIN_DOCS = 65536  # same policy as RetrievalEngine, per shard
+    def _cut_corpus_size(self) -> int:
+        # the approx policy keys on the LOCAL shard size: below the threshold
+        # every shard cuts exactly and sharded==single stays bit-identical
+        return self.sindex.docs_per_shard
 
-    def _approx_cut(self, k_local: int) -> bool:
-        """Approximate the LOCAL per-shard candidate cut at scale (the merged
-        rerank stays exact). Keyed on docs_per_shard: below the threshold the
-        sharded and single-device engines remain bit-identical."""
-        if self.stage1_cut == "exact":
-            return False
-        if self.stage1_cut == "approx":
-            return True
-        ds = self.sindex.docs_per_shard
-        return ds >= self.APPROX_CUT_MIN_DOCS and k_local * 8 <= ds
+    def _store_dim(self) -> int:
+        return int(list(next(iter(self.sindex.stores.values())).values())[0].shape[-1])
 
     # -- RetrievalEngine-parity surface --------------------------------------
 
@@ -398,26 +398,6 @@ class ShardedEngine:
             stage2_k=stage2_k, filter_obj=filter_obj,
             with_payload=with_payload)[0]
 
-    def warmup(
-        self,
-        modes=("two_stage",),
-        batch_sizes=(1, 64),
-        n_query_tokens: int = 24,
-        **search_kwargs,
-    ) -> float:
-        """Pre-compile the shard_map plans (mirrors RetrievalEngine.warmup)."""
-        import time
-
-        dim = list(next(iter(self.sindex.stores.values())).values())[0].shape[-1]
-        rng = np.random.default_rng(0)
-        t0 = time.time()
-        for mode in modes:
-            for bs in batch_sizes:
-                qs = [rng.standard_normal((n_query_tokens, dim)).astype(np.float32)
-                      for _ in range(bs)]
-                self.search_embedded_batch(qs, mode=mode, top_k=10,
-                                           with_payload=False, **search_kwargs)
-        return time.time() - t0
 
     # -- mode -> (stage1 kind, store name) ----------------------------------
 
@@ -544,6 +524,7 @@ class ShardedEngine:
             s2_local = _gathered_tokens_padded(estore, tokens, qmask, cand1)
             s2c = jax.lax.pmax(s2_local, axis)  # [B, s1k] replicated
             v2, pos2 = jax.lax.top_k(s2c, min(s2k, s1k))
+            kk = min(k, s2k, s1k)  # stage-2 pool bounds the final cut
             m2_ids = jnp.where(v2 > NEG_INF / 2,
                                jnp.take_along_axis(m1_ids, pos2, axis=1), -1)
             # stage 3: exact rerank of merged stage-2 ids
@@ -552,7 +533,7 @@ class ShardedEngine:
             cand = jnp.where(ok2, loc2, -1).astype(jnp.int32)
             rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas)
             full = jax.lax.pmax(rr, axis)
-            vals, pos = jax.lax.top_k(full, k)
+            vals, pos = jax.lax.top_k(full, kk)
             ids = jnp.take_along_axis(m2_ids, pos, axis=1)
             ids = jnp.where(vals > NEG_INF / 2, ids, -1)
             # per-stage provenance at the winners
@@ -609,7 +590,7 @@ class ShardedEngine:
             kind, name = self._mode_store(mode)
             k = max(1, min(int(top_k), d))
             plan = self._get_plan(
-                ("single", kind, name, k, tokens.shape),
+                ("single", kind, name, k, tokens.shape, self.stage1_cut),
                 lambda: self._plan_single(kind, k))
             vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
             return self._assemble(ids, with_payload, score=vals)
@@ -621,7 +602,7 @@ class ShardedEngine:
             pk = max(1, min(int(prefetch_k), d))
             k = max(1, min(int(top_k), pk))
             plan = self._get_plan(
-                ("two_stage", kind, name, pk, k, tokens.shape),
+                ("two_stage", kind, name, pk, k, tokens.shape, self.stage1_cut),
                 lambda: self._plan_two_stage(kind, pk, k))
             vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
             return self._assemble(ids, with_payload, score_stage2=vals, score_final=vals)
@@ -630,7 +611,7 @@ class ShardedEngine:
         s2k = max(1, min(int(stage2_k or 300), d))
         k = max(1, min(int(top_k), s2k))
         plan = self._get_plan(
-            ("three_stage", s1k, s2k, k, tokens.shape),
+            ("three_stage", s1k, s2k, k, tokens.shape, self.stage1_cut),
             lambda: self._plan_three_stage(s1k, s2k, k))
         vals, ids, s1_at, s2_at = plan(
             si.stores[self.global_vector_name],

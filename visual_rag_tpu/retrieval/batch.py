@@ -320,7 +320,8 @@ class BatchScorer:
                 (vals_t, mask_t, scales_t), _ = self._kernel_arrays(name)
                 return pooled_maxsim_scores_qbatch(
             vals_t, mask_t, tokens, qmask, scales_t, q_chunk=8,
-            block_d=auto_block_d(int(vals_t.shape[0]), vals_t.dtype.itemsize))
+            block_d=auto_block_d(int(vals_t.shape[0]), vals_t.dtype.itemsize,
+                                 int(vals_t.shape[-1])))
             return xla_padded_tokens_batch(
                 store.values, store.mask, tokens, qmask, store.scales,
                 compute_dtype=self.compute_dtype)

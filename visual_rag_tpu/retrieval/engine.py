@@ -80,7 +80,65 @@ def _l2n(x: np.ndarray, eps: float = 1e-8) -> np.ndarray:
     return x / (np.linalg.norm(x, axis=-1, keepdims=True) + eps)
 
 
-class RetrievalEngine:
+class EngineCommon:
+    """Behavior shared by RetrievalEngine and ShardedEngine: the approx-cut
+    policy and plan warmup. One home so the measured threshold can never
+    drift between the single-device and sharded engines."""
+
+    APPROX_CUT_MIN_DOCS = 65536  # measured: approx loses at 30k, wins 6x at 100k
+    stage1_cut: str = "auto"
+
+    def _cut_corpus_size(self) -> int:
+        raise NotImplementedError
+
+    def _store_dim(self) -> int:
+        raise NotImplementedError
+
+    def _approx_cut(self, k: int) -> bool:
+        """Use lax.approx_max_k for an intermediate candidate cut?
+
+        The reference's stage-1 (Qdrant HNSW) is approximate; ours is exact
+        below the threshold and ~0.99-recall approximate above it, where
+        exact top_k dominates the query budget (BENCH_SUMMARY scale profile).
+        Only intermediate cuts are affected — final rankings stay exact. The
+        sharded engine applies the same rule per shard, so below the
+        threshold sharded and single-device stay bit-identical.
+        """
+        if self.stage1_cut == "exact":
+            return False
+        if self.stage1_cut == "approx":
+            return True
+        d = self._cut_corpus_size()
+        return d >= self.APPROX_CUT_MIN_DOCS and k * 8 <= d
+
+    def warmup(
+        self,
+        modes: Sequence[str] = ("two_stage",),
+        batch_sizes: Sequence[int] = (1, 64),
+        n_query_tokens: int = 24,
+        **search_kwargs,
+    ) -> float:
+        """Pre-compile the fused plans for the given modes/batch shapes.
+
+        Serving processes call this at startup so the first real query never
+        pays a plan compile (minutes on remote-compile TPU backends). Returns
+        seconds spent.
+        """
+        import time
+
+        dim = self._store_dim()
+        rng = np.random.default_rng(0)
+        t0 = time.time()
+        for mode in modes:
+            for bs in batch_sizes:
+                qs = [rng.standard_normal((n_query_tokens, dim)).astype(np.float32)
+                      for _ in range(bs)]
+                self.search_embedded_batch(qs, mode=mode, top_k=10,
+                                           with_payload=False, **search_kwargs)
+        return time.time() - t0
+
+
+class RetrievalEngine(EngineCommon):
     """Query planner over one sealed collection."""
 
     def __init__(
@@ -189,22 +247,11 @@ class RetrievalEngine:
 
     # -- candidate selection -------------------------------------------------
 
-    APPROX_CUT_MIN_DOCS = 65536  # measured: approx loses at 30k, wins 6x at 100k
+    def _cut_corpus_size(self) -> int:
+        return self.index.num_docs
 
-    def _approx_cut(self, k: int) -> bool:
-        """Use lax.approx_max_k for an intermediate candidate cut?
-
-        The reference's stage-1 (Qdrant HNSW) is approximate; ours is exact
-        below the threshold and ~0.99-recall approximate above it, where
-        exact top_k dominates the query budget (BENCH_SUMMARY scale profile).
-        Only intermediate cuts are affected — final rankings stay exact.
-        """
-        if self.stage1_cut == "exact":
-            return False
-        if self.stage1_cut == "approx":
-            return True
-        d = self.index.num_docs
-        return d >= self.APPROX_CUT_MIN_DOCS and k * 8 <= d
+    def _store_dim(self) -> int:
+        return next(iter(self.index.stores.values())).dim
 
     def _topk_candidates(self, scores, k: int, doc_mask, approx: bool = False):
         k = max(1, min(int(k), self.index.num_docs))
@@ -410,31 +457,6 @@ class RetrievalEngine:
         idx = arrays.pop("idx")
         return self._batch_results(idx, with_payload, **arrays)[:n_real]
 
-    def warmup(
-        self,
-        modes: Sequence[str] = ("two_stage",),
-        batch_sizes: Sequence[int] = (1, 64),
-        n_query_tokens: int = 24,
-        **search_kwargs,
-    ) -> float:
-        """Pre-compile the fused plans for the given modes/batch shapes.
-
-        Serving processes call this at startup so the first real query never
-        pays a plan compile (minutes on remote-compile TPU backends). Returns
-        seconds spent.
-        """
-        import time
-
-        dim = next(iter(self.index.stores.values())).dim
-        rng = np.random.default_rng(0)
-        t0 = time.time()
-        for mode in modes:
-            for bs in batch_sizes:
-                qs = [rng.standard_normal((n_query_tokens, dim)).astype(np.float32)
-                      for _ in range(bs)]
-                self.search_embedded_batch(qs, mode=mode, top_k=10,
-                                           with_payload=False, **search_kwargs)
-        return time.time() - t0
 
     def _fused_arrays(self, name: str):
         """Store arrays in the layout the fused plans / shard bodies expect."""

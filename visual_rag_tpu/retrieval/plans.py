@@ -98,6 +98,7 @@ def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
     # stage 2: score ONLY the stage-1 candidates (gather, not scan+mask)
     s2c = _gathered_tokens_padded(estore, tokens, qmask, c1)  # [B, s1k]
     s2k = min(s2k, s1k)
+    k = min(k, s2k)  # stage-2 pool bounds the final cut (stage1_k < stage2_k)
     v2, pos2 = jax.lax.top_k(s2c, s2k)  # s1k is small: exact cut
     c2 = jnp.where(v2 > NEG_INF / 2,
                    jnp.take_along_axis(c1, pos2, axis=1), -1).astype(jnp.int32)

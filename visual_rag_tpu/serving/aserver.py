@@ -50,9 +50,9 @@ class AsyncSearchServer:
     # -- request handling -----------------------------------------------------
 
     def _embedding_from(self, req: Dict[str, Any]):
-        from visual_rag_tpu.serving.server import SearchServer
+        from visual_rag_tpu.serving.server import decode_embedding_request
 
-        return SearchServer._embedding_from(self, req)  # shared wire logic
+        return decode_embedding_request(req, self.embedder)
 
     async def _handle_search(self, body: bytes) -> tuple:
         try:

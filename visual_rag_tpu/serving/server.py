@@ -46,6 +46,43 @@ class _Pending:
     callback: Optional[Any] = None
 
 
+def decode_embedding_request(req: Dict[str, Any], embedder=None) -> np.ndarray:
+    """Wire-format decoder shared by both HTTP front ends.
+
+    Accepts ``embedding`` (nested lists), ``embedding_b64`` (+shape/dtype;
+    the fast binary format), or ``query`` text (needs an embedder).
+    """
+    if "embedding_b64" in req:  # binary wire format: ~4x smaller, no
+        import base64               # float parsing on the hot path
+
+        shape = req.get("shape")
+        if not (isinstance(shape, list) and len(shape) == 2):
+            raise ValueError("embedding_b64 needs shape: [n_tokens, dim]")
+        dtype_name = str(req.get("dtype", "float32"))
+        if dtype_name not in ("float32", "float16"):
+            raise ValueError(
+                f"unsupported dtype {dtype_name!r}: use float32 or float16")
+        dtype = np.dtype(dtype_name)
+        raw = base64.b64decode(req["embedding_b64"])
+        expect = int(shape[0]) * int(shape[1]) * dtype.itemsize
+        if len(raw) != expect:
+            raise ValueError(
+                f"embedding_b64 has {len(raw)} bytes, shape/dtype imply {expect}")
+        return np.frombuffer(raw, dtype=dtype).reshape(shape).astype(np.float32)
+    if "embedding" in req:
+        emb = np.asarray(req["embedding"], dtype=np.float32)
+        if emb.ndim != 2:
+            raise ValueError(
+                f"embedding must be [n_tokens, dim], got shape {emb.shape}")
+        return emb
+    if "query" in req:
+        if embedder is None:
+            raise ValueError(
+                "server has no embedder; send 'embedding' instead of 'query'")
+        return embedder.embed_query(str(req["query"]))
+    raise ValueError("request needs 'embedding', 'embedding_b64', or 'query'")
+
+
 class DynamicBatcher:
     """Coalesces concurrent search requests into fused engine batches.
 
@@ -121,7 +158,10 @@ class DynamicBatcher:
         while not self._stop.is_set():
             t_idle = time.monotonic()
             try:
-                item = self._q.get(timeout=0.05 if in_flight else None)
+                # with a batch in flight, never stall waiting for new work:
+                # an empty queue means finish the in-flight batch NOW (its
+                # device results are likely ready) instead of adding latency
+                item = self._q.get_nowait() if in_flight else self._q.get()
             except queue.Empty:
                 item = None
             self.stats["idle_ms"] += (time.monotonic() - t_idle) * 1e3
@@ -287,35 +327,7 @@ class SearchServer:
             target=self._httpd.serve_forever, daemon=True)
 
     def _embedding_from(self, req: Dict[str, Any]) -> np.ndarray:
-        if "embedding_b64" in req:  # binary wire format: ~4x smaller, no
-            import base64               # float parsing on the hot path
-
-            shape = req.get("shape")
-            if not (isinstance(shape, list) and len(shape) == 2):
-                raise ValueError("embedding_b64 needs shape: [n_tokens, dim]")
-            dtype_name = str(req.get("dtype", "float32"))
-            if dtype_name not in ("float32", "float16"):
-                raise ValueError(
-                    f"unsupported dtype {dtype_name!r}: use float32 or float16")
-            dtype = np.dtype(dtype_name)
-            raw = base64.b64decode(req["embedding_b64"])
-            expect = int(shape[0]) * int(shape[1]) * dtype.itemsize
-            if len(raw) != expect:
-                raise ValueError(
-                    f"embedding_b64 has {len(raw)} bytes, shape/dtype imply {expect}")
-            return np.frombuffer(raw, dtype=dtype).reshape(shape).astype(np.float32)
-        if "embedding" in req:
-            emb = np.asarray(req["embedding"], dtype=np.float32)
-            if emb.ndim != 2:
-                raise ValueError(
-                    f"embedding must be [n_tokens, dim], got shape {emb.shape}")
-            return emb
-        if "query" in req:
-            if self.embedder is None:
-                raise ValueError(
-                    "server has no embedder; send 'embedding' instead of 'query'")
-            return self.embedder.embed_query(str(req["query"]))
-        raise ValueError("request needs 'embedding', 'embedding_b64', or 'query'")
+        return decode_embedding_request(req, self.embedder)
 
     def start(self) -> "SearchServer":
         self._thread.start()
