@@ -56,8 +56,9 @@ def main():
         payload = results[0].get("payload") or {}
         print("saliency metadata keys on top hit:",
               [k for k in payload if "tile" in k or "token" in k] or "(none)")
-        print("generate_saliency_map(query_emb, doc_emb, token_info) renders "
-              "per-patch relevance; see visualization/saliency.py")
+        print(f"{generate_saliency_map.__name__}(query_emb, doc_emb, "
+              "token_info) renders per-patch relevance; see "
+              "visualization/saliency.py")
 
 
 if __name__ == "__main__":

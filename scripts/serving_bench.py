@@ -9,7 +9,6 @@ Usage: python scripts/serving_bench.py [--docs 3000] [--clients 64]
 
 import argparse
 import base64
-import http.client
 import json
 import sys
 import time
