@@ -75,10 +75,10 @@ def main():
         xfer([tok16, np.asarray(qmask), np.asarray(pooled)])
     t_xfer16 = (time.time() - t0) / args.reps
 
-    # 3) plan dispatch + scalar sync (device work + RTT, no result fetch)
+    # 3) plan dispatch + scalar sync (device work + RTT, no result fetch).
+    # Plans now take RAW tokens + qmask (prep happens in-plan).
     tokens_d = jnp.asarray(tokens)
     qmask_d = jnp.asarray(qmask, jnp.float32)
-    pooled_d = jnp.asarray(pooled)
     s1 = engine._fused_arrays("mean_pooling")
     ragged = engine._fused_arrays("initial")
     common = dict(kind="pooled_padded", pk=200, k=10, ds=idx.num_docs,
@@ -86,12 +86,12 @@ def main():
                   use_pallas=engine.batch_scorer.use_pallas,
                   approx=engine._approx_cut(200))
     vals, ids = plans.two_stage_plan(s1, ragged, None, tokens_d, qmask_d,
-                                     pooled_d, **common)
+                                     **common)
     float(np.asarray(vals).ravel()[0])
     t0 = time.time()
     for _ in range(args.reps):
         vals, ids = plans.two_stage_plan(s1, ragged, None, tokens_d, qmask_d,
-                                         pooled_d, **common)
+                                         **common)
         float(np.asarray(vals)[0, 0])
     t_plan = (time.time() - t0) / args.reps
 

@@ -623,22 +623,22 @@ class ShardedEngine(EngineCommon):
             score_stage1=s1_at, score_stage2=s2_at)
 
     def _assemble(self, ids, with_payload, **score_cols):
-        ids = np.asarray(ids)
-        cols = {kk: np.asarray(vv) for kk, vv in score_cols.items()}
+        # one .tolist() pass per column (see RetrievalEngine._results)
+        ids_l = np.asarray(ids).tolist()
+        cols = {kk: np.asarray(vv).tolist() for kk, vv in score_cols.items()}
         manifest = self.sindex.manifest
+        num_docs = self.sindex.num_docs
+        neg = NEG_INF / 2
         out: List[List[Dict[str, Any]]] = []
-        for b in range(ids.shape[0]):
+        for b, row_ids in enumerate(ids_l):
             rows: List[Dict[str, Any]] = []
-            for rank, gid in enumerate(ids[b]):
-                gid = int(gid)
-                if gid < 0 or gid >= self.sindex.num_docs:
-                    continue
-                first = next(iter(cols.values()))
-                if float(first[b, rank]) <= NEG_INF / 2:
+            first = next(iter(cols.values()))[b]
+            for rank, gid in enumerate(row_ids):
+                if gid < 0 or gid >= num_docs or first[rank] <= neg:
                     continue
                 rec: Dict[str, Any] = {"id": manifest.ids[gid], "rank": rank}
                 for ck, cv in cols.items():
-                    rec[ck] = float(cv[b, rank])
+                    rec[ck] = cv[b][rank]
                 rec.setdefault("score_final", rec.get("score", rec.get("score_stage2")))
                 if with_payload:
                     rec["payload"] = manifest.payload(gid)

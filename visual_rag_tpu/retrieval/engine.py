@@ -271,19 +271,23 @@ class RetrievalEngine(EngineCommon):
 
     # -- result assembly -----------------------------------------------------
 
-    def _results(self, idx: np.ndarray, with_payload: bool, **score_cols) -> List[Dict[str, Any]]:
+    def _results(self, idx, with_payload: bool, **score_cols) -> List[Dict[str, Any]]:
+        # one .tolist() pass per column: per-element numpy scalar conversions
+        # were ~20 ms per 256-query batch of assembly on the 1-core host
+        idx_l = idx if isinstance(idx, list) else np.asarray(idx).tolist()
+        cols = {k: (v if isinstance(v, list) else np.asarray(v).tolist())
+                for k, v in score_cols.items()}
         out: List[Dict[str, Any]] = []
         manifest = self.index.manifest
-        for rank, i in enumerate(np.asarray(idx)):
-            i = int(i)
-            if i < 0:
-                continue
-            first_scores = next(iter(score_cols.values()))
-            if float(np.asarray(first_scores)[rank]) <= float(NEG_INF) / 2:
+        first = next(iter(cols.values()))
+        neg = float(NEG_INF) / 2
+        col_items = list(cols.items())
+        for rank, i in enumerate(idx_l):
+            if i < 0 or first[rank] <= neg:
                 continue
             rec: Dict[str, Any] = {"id": manifest.ids[i], "rank": rank}
-            for col, arr in score_cols.items():
-                rec[col] = float(np.asarray(arr)[rank])
+            for col, arr in col_items:
+                rec[col] = arr[rank]
             rec.setdefault("score_final", rec.get("score", rec.get("score_stage2")))
             if with_payload:
                 rec["payload"] = manifest.payload(i)
@@ -490,16 +494,15 @@ class RetrievalEngine(EngineCommon):
         return table[m]
 
     def _batch_results(self, idx, with_payload, **score_cols):
-        # np.asarray per array: jax.device_get pays a pathological first-call
-        # setup cost on tunneled TPU backends
-        idx = np.asarray(idx)
-        cols = {k: np.asarray(v) for k, v in score_cols.items()}
-        out = []
-        for b in range(idx.shape[0]):
-            out.append(
-                self._results(idx[b], with_payload, **{k: v[b] for k, v in cols.items()})
-            )
-        return out
+        # np.asarray per array (jax.device_get pays a pathological first-call
+        # setup cost on tunneled TPU backends), then ONE .tolist() pass each
+        idx_l = np.asarray(idx).tolist()
+        cols = {k: np.asarray(v).tolist() for k, v in score_cols.items()}
+        return [
+            self._results(idx_l[b], with_payload,
+                          **{k: v[b] for k, v in cols.items()})
+            for b in range(len(idx_l))
+        ]
 
     def _search_single(self, mode, q, top_k, doc_mask, with_payload):
         """Single query_points call equivalents (reference single_stage.py:81-121)."""
