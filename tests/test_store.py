@@ -149,3 +149,81 @@ class TestManifest:
         np.testing.assert_array_equal(m.id_mask(["b", "zz"]), [False, True])
         with pytest.raises(ValueError):
             m.add("a", {})
+
+
+class TestSealedPersistence:
+    """Storage-dtype-native sealed-index save/load (no re-seal on restart)."""
+
+    @pytest.mark.parametrize("storage_dtype", ["float32", "bfloat16", "int8"])
+    def test_roundtrip_identical_results(self, storage_dtype, tmp_path):
+        import numpy as np
+
+        from visual_rag_tpu.index import (
+            CollectionSchema,
+            IndexBuilder,
+            load_sealed,
+            save_sealed,
+        )
+        from visual_rag_tpu.retrieval import RetrievalEngine
+
+        rng = np.random.default_rng(31)
+        b = IndexBuilder(CollectionSchema.standard(
+            storage_dtype=storage_dtype, dim=32))
+        for i in range(25):
+            t = rng.standard_normal((int(rng.integers(5, 30)), 32)).astype(np.float32)
+            b.add(f"d{i}", {"initial": t, "mean_pooling": t[:4],
+                            "experimental_pooling": t[:4],
+                            "global_pooling": t.mean(axis=0)},
+                  {"year": 2020 + i % 2})
+        index = b.seal()
+        save_sealed(index, tmp_path)
+        back = load_sealed(tmp_path, verify=True)
+        assert back.num_docs == index.num_docs
+        assert back.storage_dtype == storage_dtype
+        st = back.stores["initial"]
+        assert str(st.flat.dtype) == (
+            "int8" if storage_dtype == "int8" else storage_dtype)
+        q = rng.standard_normal((7, 32)).astype(np.float32)
+        e1 = RetrievalEngine(index, compute_dtype="float32")
+        e2 = RetrievalEngine(back, compute_dtype="float32")
+        for mode, kw in [("single_full", {}), ("two_stage", dict(prefetch_k=10)),
+                         ("three_stage", dict(stage1_k=15, stage2_k=8))]:
+            a = e1.search_embedded(q, mode=mode, top_k=5, **kw)
+            c = e2.search_embedded(q, mode=mode, top_k=5, **kw)
+            assert [r["id"] for r in a] == [r["id"] for r in c], mode
+            for ra, rc in zip(a, c):
+                assert ra["score_final"] == pytest.approx(rc["score_final"], abs=1e-6)
+        # filters survive through the manifest
+        from visual_rag_tpu.retrieval import build_filter
+
+        res = e2.search_embedded(q, mode="two_stage", top_k=20,
+                                 filter_obj=build_filter(year=2021))
+        assert res and all(r["payload"]["year"] == 2021 for r in res)
+
+    def test_on_disk_bytes_match_storage_dtype(self, tmp_path):
+        import numpy as np
+
+        from visual_rag_tpu.index import (
+            CollectionSchema,
+            IndexBuilder,
+            save_sealed,
+        )
+
+        rng = np.random.default_rng(5)
+
+        def build(sd):
+            b = IndexBuilder(CollectionSchema.standard(storage_dtype=sd, dim=64))
+            for i in range(40):
+                t = rng.standard_normal((64, 64)).astype(np.float32)
+                b.add(f"d{i}", {"initial": t, "mean_pooling": t[:4],
+                                "experimental_pooling": t[:4],
+                                "global_pooling": t.mean(axis=0)}, {})
+            return b.seal()
+
+        sizes = {}
+        for sd in ("float32", "bfloat16", "int8"):
+            d = tmp_path / sd
+            save_sealed(build(sd), d)
+            sizes[sd] = (d / "sealed.vrag").stat().st_size
+        assert sizes["bfloat16"] < 0.6 * sizes["float32"]
+        assert sizes["int8"] < 0.65 * sizes["bfloat16"]

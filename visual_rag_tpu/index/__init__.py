@@ -22,3 +22,4 @@ from visual_rag_tpu.index.store import (  # noqa: F401
 )
 from visual_rag_tpu.index.builder import IndexBuilder, CollectionSchema  # noqa: F401
 from visual_rag_tpu.index.manifest import Manifest  # noqa: F401
+from visual_rag_tpu.index.persist import load_sealed, save_sealed  # noqa: F401
