@@ -384,6 +384,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--max-mean-pool-vectors", type=int, default=32)
     parser.add_argument("--crop", action="store_true")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--stage1-cut", choices=["auto", "exact", "approx"],
+                        default="auto")
     parser.add_argument("--sealed-cache", action="store_true",
                         help="persist/reuse the SEALED stores (storage-dtype-"
                              "native) under <index-dir>/<collection>/sealed; "
@@ -464,9 +466,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             from visual_rag_tpu.parallel import ShardedEngine, ShardedIndex, make_mesh
 
             mesh = make_mesh((args.num_shards,), ("data",))
-            engine = ShardedEngine(ShardedIndex.from_index(index, mesh))
+            engine = ShardedEngine(ShardedIndex.from_index(index, mesh),
+                                   stage1_cut=args.stage1_cut)
         else:
-            engine = RetrievalEngine(index)
+            engine = RetrievalEngine(index, stage1_cut=args.stage1_cut)
         reports = []
         for ds in datasets:
             report = evaluate(

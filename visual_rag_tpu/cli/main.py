@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("search", help="search a collection with a text query")
     _add_common(s)
     s.add_argument("query")
+    s.add_argument("--stage1-cut", choices=["auto", "exact", "approx"],
+                   default="auto",
+                   help="candidate-cut policy: auto uses approx_max_k at "
+                        ">=64k docs (HNSW-parity; exact rerank regardless)")
     s.add_argument("--mode", default="two_stage",
                    choices=("single_full", "single_tiles", "single_pooled",
                             "single_global", "single_experimental_tokens",
@@ -95,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="batching window after the first request")
     v.add_argument("--no-embedder", action="store_true",
                    help="embedding-only API (skip loading the model)")
+    v.add_argument("--stage1-cut", choices=["auto", "exact", "approx"],
+                   default="auto",
+                   help="candidate-cut policy: auto uses approx_max_k at "
+                        ">=64k docs (HNSW-parity; exact rerank regardless)")
     v.add_argument("--server", choices=["async", "threaded"], default="async",
                    help="asyncio event-loop front end (default) or the "
                         "thread-per-connection stdlib server")
@@ -197,7 +205,8 @@ def cmd_search(args) -> int:
             f"Vector {exp_name!r} not in collection (have: {index.vector_names})")
 
     embedder = VisualEmbedder(args.model)
-    engine = RetrievalEngine(index, experimental_vector_name=exp_name)
+    engine = RetrievalEngine(index, experimental_vector_name=exp_name,
+                             stage1_cut=getattr(args, "stage1_cut", "auto"))
     q = embedder.embed_query(args.query)
     filter_obj = build_filter(
         year=args.year, source=args.source, district=args.district,
@@ -226,7 +235,8 @@ def cmd_serve(args) -> int:
     from visual_rag_tpu.serving import AsyncSearchServer, SearchServer
 
     builder = _load_builder(args)
-    engine = RetrievalEngine(builder.seal())
+    engine = RetrievalEngine(builder.seal(),
+                             stage1_cut=getattr(args, "stage1_cut", "auto"))
     embedder = None
     if not args.no_embedder:
         from visual_rag_tpu.models.embedder import VisualEmbedder
