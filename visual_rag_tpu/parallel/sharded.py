@@ -107,75 +107,97 @@ class ShardedIndex:
         max_len = 1
         for name, store in index.stores.items():
             if isinstance(store, PaddedMultiVectors):
-                vals = np.asarray(store.values)  # storage dtype, codes if int8
-                mask = np.asarray(store.mask)
-                p = vals.shape[1]
-                vpad = np.zeros((n * ds, p, vals.shape[2]), dtype=vals.dtype)
-                mpad = np.zeros((n * ds, p), dtype=np.float32)
-                vpad[:d] = vals[:d]
-                mpad[:d] = mask[:d].astype(np.float32)
+                # DEVICE-side reshape/transpose: no host pull of the store
+                vals = jnp.asarray(store.values)  # storage dtype, codes if int8
+                p = int(vals.shape[1])
+                pad_docs = n * ds - d
+                vpad = jnp.pad(vals, ((0, pad_docs), (0, 0), (0, 0)))
+                mpad = jnp.pad(jnp.asarray(store.mask, jnp.float32),
+                               ((0, pad_docs), (0, 0)))
                 # P-leading per shard for the Pallas prefetch kernel
-                vals_t = vpad.reshape(n, ds, p, -1).transpose(0, 2, 1, 3)
-                mask_t = mpad.reshape(n, ds, p).transpose(0, 2, 1)
+                vals_t = jnp.transpose(vpad.reshape(n, ds, p, -1), (0, 2, 1, 3))
+                mask_t = jnp.transpose(mpad.reshape(n, ds, p), (0, 2, 1))
                 stores[name] = {
-                    "vals_t": put(jnp.asarray(vals_t), P(axis)),
-                    "mask_t": put(jnp.asarray(mask_t), P(axis)),
+                    "vals_t": put(vals_t, P(axis)),
+                    "mask_t": put(mask_t, P(axis)),
                 }
                 if store.scales is not None:  # [D, P] -> [n, P, Ds]
-                    spad = np.zeros((n * ds, p), dtype=np.float32)
-                    spad[:d] = np.asarray(store.scales, np.float32)[:d]
+                    spad = jnp.pad(jnp.asarray(store.scales, jnp.float32),
+                                   ((0, pad_docs), (0, 0)))
                     stores[name]["scales_t"] = put(
-                        jnp.asarray(spad.reshape(n, ds, p).transpose(0, 2, 1)),
+                        jnp.transpose(spad.reshape(n, ds, p), (0, 2, 1)),
                         P(axis))
                 kinds[name] = "padded"
             elif isinstance(store, SingleVectors):
-                vals = np.asarray(store.dequantized(jnp.float32))
-                vpad = np.zeros((n * ds, vals.shape[1]), dtype=np.float32)
-                vpad[:d] = vals[:d]
+                vals = store.dequantized(jnp.float32)  # tiny: [D, dim]
+                vpad = jnp.pad(vals, ((0, n * ds - d), (0, 0)))
                 stores[name] = {
-                    "vals": put(jnp.asarray(vpad.reshape(n, ds, -1), cd), P(axis)),
+                    "vals": put(vpad.reshape(n, ds, -1).astype(cd), P(axis)),
                 }
                 kinds[name] = "single"
             elif isinstance(store, RaggedMultiVectors):
-                flat = np.asarray(store.flat)  # storage dtype, codes if int8
-                offsets = np.asarray(store.offsets)
-                lengths = np.asarray(store.lengths)
+                offsets = np.asarray(store.offsets).astype(np.int64)
+                lengths = np.asarray(store.lengths).astype(np.int64)
                 max_len = max(max_len, store.max_len)
-                # rebuild per-shard flats (32-aligned starts preserved)
-                shard_flats, shard_offs, shard_lens = [], [], []
-                for s in range(n):
-                    lo, hi = s * ds, min((s + 1) * ds, d)
-                    offs = np.zeros((ds,), np.int32)
-                    lens = np.zeros((ds,), np.int32)
-                    pieces = []
-                    pos = 0
-                    for j in range(lo, hi):
-                        ln = int(lengths[j])
-                        offs[j - lo] = pos
-                        lens[j - lo] = ln
-                        pieces.append(flat[offsets[j] : offsets[j] + ln])
-                        pos += ((ln + 31) // 32) * 32
-                    buf = np.zeros((max(pos, 1) + store.max_len, flat.shape[1]),
-                                   dtype=flat.dtype)
-                    for j, piece in enumerate(pieces):
-                        buf[offs[j] : offs[j] + len(piece)] = piece
-                    shard_flats.append(buf)
-                    shard_offs.append(offs)
-                    shard_lens.append(lens)
-                t_max = max(f.shape[0] for f in shard_flats)
-                flats = np.zeros((n, t_max, flat.shape[1]), dtype=flat.dtype)
-                for s, f in enumerate(shard_flats):
-                    flats[s, : f.shape[0]] = f
+                dim = store.dim
+                aligned = ((lengths + 31) // 32) * 32
+                # pack_aligned / synth lay docs out contiguously with
+                # 32-aligned starts, so each shard's rows are ONE contiguous
+                # slice of the global flat — shard device-side by slicing,
+                # no host pull of the (possibly many-GB) token store.
+                contiguous = (d == 0 or bool(
+                    np.array_equal(offsets[1:], offsets[:-1] + aligned[:-1])))
+                flat_dev = jnp.asarray(store.flat)
+                shard_offs = np.zeros((n, ds), np.int32)
+                shard_lens = np.zeros((n, ds), np.int32)
+                spans = []
+                for si in range(n):
+                    lo, hi = si * ds, min((si + 1) * ds, d)
+                    if hi > lo:
+                        start = int(offsets[lo])
+                        span = int(offsets[hi - 1] + aligned[hi - 1]) - start
+                        shard_offs[si, : hi - lo] = offsets[lo:hi] - start
+                        shard_lens[si, : hi - lo] = lengths[lo:hi]
+                    else:
+                        start, span = 0, 0
+                    spans.append((start, span))
+                if contiguous:
+                    t_max = max((sp for _, sp in spans), default=0) + store.max_len
+                    pieces = [
+                        jnp.pad(flat_dev[start : start + span],
+                                ((0, t_max - span), (0, 0)))
+                        for start, span in spans
+                    ]
+                    flats = jnp.stack(pieces)
+                else:  # custom layouts: per-doc host repack (slow path)
+                    flat_np = np.asarray(store.flat)
+                    bufs = []
+                    for si in range(n):
+                        lo, hi = si * ds, min((si + 1) * ds, d)
+                        pos = 0
+                        rows = []
+                        for j in range(lo, hi):
+                            shard_offs[si, j - lo] = pos
+                            pos += int(aligned[j])
+                        buf = np.zeros((max(pos, 1) + store.max_len, dim),
+                                       dtype=flat_np.dtype)
+                        for j in range(lo, hi):
+                            buf[shard_offs[si, j - lo] :
+                                shard_offs[si, j - lo] + int(lengths[j])] =                                 flat_np[offsets[j] : offsets[j] + int(lengths[j])]
+                        bufs.append(buf)
+                    t_max = max(b.shape[0] for b in bufs)
+                    flats = jnp.stack([
+                        jnp.asarray(np.pad(b, ((0, t_max - b.shape[0]), (0, 0))))
+                        for b in bufs])
                 stores[name] = {
-                    "flat": put(jnp.asarray(flats), P(axis)),
-                    "offsets": put(jnp.asarray(np.stack(shard_offs)), P(axis)),
-                    "lengths": put(jnp.asarray(np.stack(shard_lens)), P(axis)),
+                    "flat": put(flats, P(axis)),
+                    "offsets": put(jnp.asarray(shard_offs), P(axis)),
+                    "lengths": put(jnp.asarray(shard_lens), P(axis)),
                 }
                 if store.scales is not None:  # per-doc scales -> [n, Ds]
-                    spad = np.zeros((n * ds,), dtype=np.float32)
-                    spad[:d] = np.asarray(store.scales, np.float32)[:d]
-                    stores[name]["scales"] = put(
-                        jnp.asarray(spad.reshape(n, ds)), P(axis))
+                    spad = jnp.pad(jnp.asarray(store.scales, jnp.float32),
+                                   (0, n * ds - d))
+                    stores[name]["scales"] = put(spad.reshape(n, ds), P(axis))
                 kinds[name] = "ragged"
             else:  # pragma: no cover
                 raise TypeError(f"Unknown store type for {name!r}")
