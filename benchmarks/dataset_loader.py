@@ -45,6 +45,9 @@ class Query:
     query_id: str
     text: str
     metadata: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # optional precomputed token embedding [nq, dim] (air-gapped / replayed
+    # evaluation runs; mirrors CorpusDoc.embedding)
+    embedding: Any = None
 
 
 def _as_str(x) -> str:
@@ -101,13 +104,20 @@ def parse_query_rows(rows: Iterable[Mapping[str, Any]]) -> List[Query]:
         qid = _as_str(_first_field(row, ("query-id", "query_id", "_id", "id"),
                                    default=str(i)))
         text = _as_str(_first_field(row, ("query", "text", "question"), default=""))
-        queries.append(Query(query_id=qid, text=text))
+        emb = row.get("embedding")
+        if emb is not None:
+            import numpy as np
+
+            emb = np.asarray(emb, dtype=np.float32)
+        queries.append(Query(query_id=qid, text=text, embedding=emb))
     return queries
 
 
 def drop_empty_queries(queries: List[Query], qrels: Dict[str, Dict[str, int]]):
     """Evaluation keeps only queries with at least one positive (reference)."""
-    kept = [q for q in queries if q.text.strip() and qrels.get(q.query_id)]
+    kept = [q for q in queries
+            if (q.text.strip() or q.embedding is not None)
+            and qrels.get(q.query_id)]
     dropped = len(queries) - len(kept)
     if dropped:
         logger.info("Dropped %d queries without text or positives", dropped)

@@ -272,7 +272,10 @@ def evaluate(
     filter_obj = build_filter(extra={"dataset": dataset.name}) if scope == "per_dataset" else None
 
     t_embed = time.time()
-    q_embs = embedder.embed_queries([q.text for q in queries])
+    if all(q.embedding is not None for q in queries):
+        q_embs = [np.asarray(q.embedding, np.float32) for q in queries]
+    else:
+        q_embs = embedder.embed_queries([q.text for q in queries])
     embed_time = time.time() - t_embed
 
     per_query_metrics: Dict[str, List[float]] = {
