@@ -96,3 +96,53 @@ class TestWarmup:
         # warmed plan serves immediately
         res = engine.search_embedded_batch(queries[:2], mode="two_stage", top_k=3)
         assert len(res) == 2
+
+
+class TestPipelinedBatches:
+    def test_generator_matches_sequential(self):
+        import numpy as np
+
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+        from visual_rag_tpu.retrieval import RetrievalEngine
+
+        rng = np.random.default_rng(8)
+        b = IndexBuilder(CollectionSchema.standard(storage_dtype="float32", dim=16))
+        for i in range(40):
+            t = rng.standard_normal((12, 16)).astype(np.float32)
+            b.add(f"d{i}", {"initial": t, "mean_pooling": t[:3],
+                            "experimental_pooling": t[:3],
+                            "global_pooling": t.mean(0)}, {})
+        e = RetrievalEngine(b.seal(), compute_dtype="float32")
+        batches = [[rng.standard_normal((6, 16)).astype(np.float32)
+                    for _ in range(5)] for _ in range(4)]
+        seq = [e.search_embedded_batch(qb, mode="two_stage", top_k=3,
+                                       prefetch_k=10, with_payload=False)
+               for qb in batches]
+        pipe = list(e.search_embedded_batches(batches, mode="two_stage",
+                                              top_k=3, prefetch_k=10,
+                                              with_payload=False))
+        assert len(pipe) == len(seq)
+        for sb, pb in zip(seq, pipe):
+            for sr, pr in zip(sb, pb):
+                assert [x["id"] for x in sr] == [x["id"] for x in pr]
+
+    def test_generator_with_empty_and_varied_batches(self):
+        import numpy as np
+
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+        from visual_rag_tpu.retrieval import RetrievalEngine
+
+        rng = np.random.default_rng(9)
+        b = IndexBuilder(CollectionSchema.standard(storage_dtype="float32", dim=16))
+        for i in range(10):
+            t = rng.standard_normal((8, 16)).astype(np.float32)
+            b.add(f"d{i}", {"initial": t, "mean_pooling": t[:2],
+                            "experimental_pooling": t[:2],
+                            "global_pooling": t.mean(0)}, {})
+        e = RetrievalEngine(b.seal(), compute_dtype="float32")
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        out = list(e.search_embedded_batches(
+            [[q], [], [q, q, q]], mode="single_full", top_k=2,
+            with_payload=False))
+        assert [len(x) for x in out] == [1, 0, 3]
+        assert all(len(r) == 2 for x in out for r in x)
