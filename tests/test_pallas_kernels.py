@@ -129,3 +129,39 @@ class TestRerankKernel:
                 store.flat, store.offsets, store.lengths,
                 queries, qmask, candidates, store.max_len, group=4, interpret=True))
         assert (got < -1e29).all()
+
+
+class TestUnalignedMaxLen:
+    def test_rerank_window_rounding_preserves_scores(self):
+        """ColQwen effective grids give arbitrary max_len (e.g. 126); the
+        kernel rounds its DMA window to 32 — scores must be unchanged and
+        reads stay in bounds (regression: Mosaic rejected 126-row slices)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from visual_rag_tpu import native
+        from visual_rag_tpu.ops.kernels.maxsim_rerank import rerank_candidates
+
+        rng = np.random.default_rng(0)
+        lengths = np.array([126, 90, 117, 11, 126], np.int32)  # max_len 126
+        mats = [rng.standard_normal((int(n), 32)).astype(np.float32)
+                for n in lengths]
+        flat, offsets = native.pack_aligned(
+            np.concatenate(mats), lengths, align=32,
+            tail_pad_rows=126, normalize=True)
+        q = rng.standard_normal((2, 7, 32)).astype(np.float32)
+        qn = q / (np.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
+        qm = np.ones((2, 7), np.float32)
+        cand = np.array([[0, 1, 4, -1], [2, 3, 0, 1]], np.int32)
+        got = np.asarray(rerank_candidates(
+            jnp.asarray(flat), jnp.asarray(offsets.astype(np.int32)),
+            jnp.asarray(lengths), jnp.asarray(qn), jnp.asarray(qm),
+            jnp.asarray(cand), 126, interpret=True))
+        # numpy oracle
+        for b in range(2):
+            for j, c in enumerate(cand[b]):
+                if c < 0:
+                    continue
+                d = flat[offsets[c]:offsets[c] + lengths[c]]
+                want = (qn[b] @ d.T).max(axis=1).sum()
+                assert got[b, j] == pytest.approx(want, rel=1e-4), (b, j)

@@ -101,6 +101,12 @@ def rerank_candidates(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact MaxSim scores [B, K] f32 for each query's candidate docs."""
+    # DMA windows must be sublane-tile aligned (8 rows f32/bf16, 32 rows
+    # int8); ColQwen effective grids give arbitrary max_len (e.g. 14x9=126),
+    # so round the window up to 32 — the ragged store's tail padding
+    # (>= max_len rows) keeps the widened reads in bounds, and the length
+    # mask below ignores the extra rows.
+    max_len = ((int(max_len) + 31) // 32) * 32
     b, k = candidates.shape
     nq = queries.shape[1]
     dim = queries.shape[2]
