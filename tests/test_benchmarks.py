@@ -295,3 +295,46 @@ class TestQuickTest:
         report = evaluate(ds, embedder, engine, "sealc", prefetch_k=8,
                           top_k=10, query_batch_size=2)
         assert report["metrics"]["ndcg@5"] == pytest.approx(1.0)
+
+
+class TestColQwenHarnessPath:
+    def test_colqwen_index_and_evaluate(self, tmp_path):
+        """ColQwen tiny end-to-end through the harness: dynamic effective
+        grids give non-tile-aligned max token counts (regression for the
+        rerank DMA window) and the schema carries gaussian/triangular
+        experimental vectors."""
+        import dataclasses
+
+        from benchmarks.dataset_loader import BeirDataset, CorpusDoc, Query
+
+        tiny = ColVLMConfig.tiny()
+        qcfg = dataclasses.replace(
+            tiny,
+            vision=dataclasses.replace(tiny.vision, window_side=8,
+                                       full_attn_layers=(1,), rope_2d=True,
+                                       learned_pos=False),
+            spatial_merge=2)
+        embedder = VisualEmbedder("vidore/colqwen2.5-v0.2", config=qcfg,
+                                  batch_size=2)
+        rng = np.random.default_rng(3)
+        docs = [CorpusDoc(doc_id=f"p{i}",
+                          image=rng.integers(0, 255,
+                                             (200 + 30 * i, 170 + 20 * i, 3),
+                                             dtype=np.uint8).astype(np.uint8))
+                for i in range(4)]
+        ds = BeirDataset(name="qwenset", corpus=docs, queries=[
+            Query(query_id="q0", text="find something")],
+            qrels={"q0": {"p1": 1}})
+        schema = make_schema_for_embedder(embedder, "float32")
+        assert "experimental_pooling_gaussian" in schema.vectors
+        assert "experimental_pooling_triangular" in schema.vectors
+        builder = IndexBuilder(schema)
+        stats = index_beir_corpus(ds, embedder, builder, "qc")
+        assert stats["indexed"] == 4 and stats["failed"] == 0
+        index = builder.seal()
+        # arbitrary (non-8-aligned) max_len must flow through search
+        engine = RetrievalEngine(index, compute_dtype="float32")
+        report = evaluate(ds, embedder, engine, "qc", prefetch_k=4, top_k=4,
+                          query_batch_size=1)
+        assert report["num_queries"] == 1
+        assert 0.0 <= report["metrics"]["ndcg@5"] <= 1.0
