@@ -594,11 +594,40 @@ class ShardedEngine(EngineCommon):
         filter_obj: Optional[PayloadFilter] = None,
         with_payload: bool = True,
     ) -> List[List[Dict[str, Any]]]:
+        return self._finish_batch(self._dispatch_batch(
+            query_embeddings, mode=mode, top_k=top_k, prefetch_k=prefetch_k,
+            stage1_mode=stage1_mode, stage1_k=stage1_k, stage2_k=stage2_k,
+            filter_obj=filter_obj, with_payload=with_payload))
+
+    def search_embedded_batches(self, query_batches, **search_kwargs):
+        """Depth-1 pipelined batches (mirrors RetrievalEngine): dispatch
+        batch i+1 before fetching batch i's replicated outputs."""
+        prev = None
+        for qb in query_batches:
+            cur = self._dispatch_batch(qb, **search_kwargs)
+            if prev is not None:
+                yield self._finish_batch(prev)
+            prev = cur
+        if prev is not None:
+            yield self._finish_batch(prev)
+
+    def _dispatch_batch(
+        self,
+        query_embeddings,
+        mode: str = "two_stage",
+        top_k: int = 10,
+        prefetch_k: Optional[int] = None,
+        stage1_mode: str = "pooled_query_vs_standard_pooling",
+        stage1_k: Optional[int] = None,
+        stage2_k: Optional[int] = None,
+        filter_obj: Optional[PayloadFilter] = None,
+        with_payload: bool = True,
+    ):
         if mode not in SEARCH_MODES:
             raise ValueError(f"Unknown mode: {mode}. Choose one of {SEARCH_MODES}")
         si = self.sindex
         if si.num_docs == 0 or not len(query_embeddings):
-            return [[] for _ in range(len(query_embeddings))]
+            return ("empty", len(query_embeddings), with_payload, {})
         dim = next(iter(si.stores.values()))
         dim = list(dim.values())[0].shape[-1]
         wire = np.float16 if jax.default_backend() == "tpu" else np.float32
@@ -615,7 +644,8 @@ class ShardedEngine(EngineCommon):
                 ("single", kind, name, k, tokens.shape, self.stage1_cut),
                 lambda: self._plan_single(kind, k))
             vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
-            return self._assemble(ids, with_payload, score=vals)
+            return ("done", len(query_embeddings), with_payload,
+                    {"ids": ids, "score": vals})
 
         if mode == "two_stage":
             if prefetch_k is None:
@@ -627,7 +657,8 @@ class ShardedEngine(EngineCommon):
                 ("two_stage", kind, name, pk, k, tokens.shape, self.stage1_cut),
                 lambda: self._plan_two_stage(kind, pk, k))
             vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
-            return self._assemble(ids, with_payload, score_stage2=vals, score_final=vals)
+            return ("done", len(query_embeddings), with_payload,
+                    {"ids": ids, "score_stage2": vals, "score_final": vals})
 
         s1k = max(1, min(int(stage1_k or 1000), d))
         s2k = max(1, min(int(stage2_k or 300), d))
@@ -639,10 +670,16 @@ class ShardedEngine(EngineCommon):
             si.stores[self.global_vector_name],
             si.stores[self.experimental_vector_name],
             ragged, mask, tokens, qmask)
-        return self._assemble(
-            ids, with_payload,
-            score_stage3=vals, score_final=vals,
-            score_stage1=s1_at, score_stage2=s2_at)
+        return ("done", len(query_embeddings), with_payload,
+                {"ids": ids, "score_stage3": vals, "score_final": vals,
+                 "score_stage1": s1_at, "score_stage2": s2_at})
+
+    def _finish_batch(self, pending) -> List[List[Dict[str, Any]]]:
+        tag, n, with_payload, arrays = pending
+        if tag == "empty":
+            return [[] for _ in range(n)]
+        ids = arrays.pop("ids")
+        return self._assemble(ids, with_payload, **arrays)
 
     def _assemble(self, ids, with_payload, **score_cols):
         # one .tolist() pass per column (see RetrievalEngine._results)
