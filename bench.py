@@ -48,9 +48,11 @@ def main():
 
     queries = [
         rng.standard_normal((int(rng.integers(8, 25)), dim)).astype(np.float32)
-        for _ in range(256)
+        for _ in range(512)
     ]
-    bs = 256  # large batches amortize per-dispatch tunnel RTT (bs sweep: 64->741, 128->1140, 256->1610 QPS)
+    bs = 512  # large batches amortize per-dispatch tunnel RTT + host prep
+    # (r2 sweep @100k, pipelined: 256->2706, 512->3692, 1024->5254 QPS;
+    # 512 balances throughput against ~140 ms batch latency)
     # warm (compile)
     engine.search_embedded_batch(queries[:bs], mode="two_stage", top_k=10, prefetch_k=200)
     batches = [queries[s : s + bs] for s in range(0, len(queries), bs)]
