@@ -33,6 +33,9 @@ class Manifest:
         self._id_to_idx: Dict[str, int] = {}
         self._columns: Dict[str, np.ndarray] = {}  # field -> int32 codes
         self._vocabs: Dict[str, Dict[Any, int]] = {}  # field -> value -> code
+        # bumped on every mutation; filter-mask caches key on (filter
+        # signature, version) so appends invalidate stale masks
+        self.version: int = 0
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -48,6 +51,7 @@ class Manifest:
         self.payloads.append(dict(payload or {}))
         self._id_to_idx[point_id] = idx
         self._columns.clear()  # indexes are rebuilt lazily after appends
+        self.version += 1
         return idx
 
     # -- payload indexes -----------------------------------------------------

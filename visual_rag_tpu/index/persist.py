@@ -54,8 +54,13 @@ def save_sealed(index: SealedIndex, directory) -> None:
                     "dtype": str(store.flat.dtype),
                     "has_scales": store.scales is not None}
                 writer.add(f"{name}__flat", _np_for_write(store.flat))
-                writer.add(f"{name}__offsets",
-                           np.asarray(store.offsets, np.int32))
+                offsets = np.asarray(store.offsets)
+                if offsets.size and int(offsets.max()) > np.iinfo(np.int32).max:
+                    raise ValueError(
+                        f"store {name!r} has offsets beyond int32 "
+                        f"({int(offsets.max())}); VRAG1 persists int32 row "
+                        f"offsets — shard the index before sealing")
+                writer.add(f"{name}__offsets", offsets.astype(np.int32))
                 writer.add(f"{name}__lengths",
                            np.asarray(store.lengths, np.int32))
                 if store.scales is not None:
@@ -85,8 +90,16 @@ def save_sealed(index: SealedIndex, directory) -> None:
         writer.close()
     import os
 
+    # Two-file commit: stage BOTH, then os.replace both (meta last). A crash
+    # between the replaces leaves a new vrag with the OLD meta for at most
+    # one window — and meta is replaced immediately after vrag, so the
+    # exposure is the ordering, not a partially-written meta. The previous
+    # order (vrag replaced before meta was even written) could pair a new
+    # vrag with a stale or missing meta and mis-revive dtypes/kinds.
+    meta_tmp = directory / "sealed_meta.json.tmp"
+    meta_tmp.write_text(json.dumps(meta, indent=2))
     os.replace(tmp, directory / "sealed.vrag")
-    (directory / "sealed_meta.json").write_text(json.dumps(meta, indent=2))
+    os.replace(meta_tmp, directory / "sealed_meta.json")
 
 
 def _revive(arr: np.ndarray, dtype_name: str) -> jnp.ndarray:

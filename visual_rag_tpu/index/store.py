@@ -183,10 +183,15 @@ class RaggedMultiVectors:
                else np.zeros((0, dim), dtype=np.float32))
         # Each doc's block starts 32-row-aligned so Pallas DMA windows are
         # provably tile-aligned (f32/bf16/int8 tilings); tail padding of
-        # max_len rows keeps fixed-width windows in bounds. The normalize +
-        # scatter runs in the native OpenMP runtime when available.
+        # ceil32(max_len) rows keeps fixed-width windows in bounds — the
+        # rerank kernel widens its window to ceil32(max_len), and a trailing
+        # zero-length doc has an aligned span of 0 rows, so max_len alone
+        # could leave up to 31 rows of the widened window out of bounds.
+        # The normalize + scatter runs in the native OpenMP runtime when
+        # available.
         flat, offsets = native.pack_aligned(
-            src, lengths, align=32, tail_pad_rows=max_len, normalize=True)
+            src, lengths, align=32, tail_pad_rows=((max_len + 31) // 32) * 32,
+            normalize=True)
         if storage_dtype == "int8":
             # PER-DOC scales (not per-row): a doc-constant scale commutes with
             # the row-max and query-sum, so kernels apply it once per

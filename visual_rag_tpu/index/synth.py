@@ -62,7 +62,9 @@ def synthetic_index(
     offsets = np.zeros(num_docs, np.int64)
     np.cumsum(aligned[:-1], out=offsets[1:])
     max_len = int(lengths.max())
-    total = int(aligned.sum()) + max_len  # tail pad keeps gathers in bounds
+    # tail pad of ceil32(max_len) keeps the rerank kernel's widened
+    # (32-row-rounded) DMA windows in bounds even for a 0-length last doc
+    total = int(aligned.sum()) + ((max_len + 31) // 32) * 32
     sdt = jnp.dtype(
         {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
          "float32": jnp.float32, "int8": jnp.int8}[storage_dtype])

@@ -103,9 +103,11 @@ def rerank_candidates(
     """Exact MaxSim scores [B, K] f32 for each query's candidate docs."""
     # DMA windows must be sublane-tile aligned (8 rows f32/bf16, 32 rows
     # int8); ColQwen effective grids give arbitrary max_len (e.g. 14x9=126),
-    # so round the window up to 32 — the ragged store's tail padding
-    # (>= max_len rows) keeps the widened reads in bounds, and the length
-    # mask below ignores the extra rows.
+    # so round the window up to 32 — the ragged store's tail padding of
+    # ceil32(max_len) rows (store.pack_aligned / sharded.from_index /
+    # synth.synthetic_index) keeps the widened reads in bounds even when the
+    # last doc has 0 tokens, and the length mask below ignores the extra
+    # rows.
     max_len = ((int(max_len) + 31) // 32) * 32
     b, k = candidates.shape
     nq = queries.shape[1]
@@ -162,4 +164,8 @@ def rerank_candidates(
         flat,
     )
     scores = out.reshape(b, k_pad)[:, :k]
-    return jnp.where(candidates[:, :k] >= 0, scores, NEG_INF)
+    # padding slots AND empty (0-token) candidates score NEG_INF: an empty
+    # doc's in-kernel score is 0.0, which must never outrank real docs with
+    # negative MaxSim sums (matches rerank_ragged / xla_exhaustive_batch)
+    has = (cand_len > 0).reshape(b, k_pad)[:, :k]
+    return jnp.where((candidates[:, :k] >= 0) & has, scores, NEG_INF)

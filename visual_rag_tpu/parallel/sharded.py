@@ -161,8 +161,12 @@ class ShardedIndex:
                     else:
                         start, span = 0, 0
                     spans.append((start, span))
+                # tail pad by ceil32(max_len): the rerank kernel widens its
+                # DMA window to ceil32(max_len), and a trailing zero-length
+                # doc contributes 0 aligned rows to the span
+                pad_rows = ((store.max_len + 31) // 32) * 32
                 if contiguous:
-                    t_max = max((sp for _, sp in spans), default=0) + store.max_len
+                    t_max = max((sp for _, sp in spans), default=0) + pad_rows
                     pieces = [
                         jnp.pad(flat_dev[start : start + span],
                                 ((0, t_max - span), (0, 0)))
@@ -179,7 +183,7 @@ class ShardedIndex:
                         for j in range(lo, hi):
                             shard_offs[si, j - lo] = pos
                             pos += int(aligned[j])
-                        buf = np.zeros((max(pos, 1) + store.max_len, dim),
+                        buf = np.zeros((max(pos, 1) + pad_rows, dim),
                                        dtype=flat_np.dtype)
                         for j in range(lo, hi):
                             buf[shard_offs[si, j - lo] :
@@ -212,16 +216,34 @@ class ShardedIndex:
                    for s in self.stores.values() for a in s.values())
 
     def doc_mask_shards(self, filter_obj: Optional[PayloadFilter]) -> jnp.ndarray:
-        """[n, Ds] f32 validity mask: filter AND not-a-padding-slot."""
+        """[n, Ds] f32 validity mask: filter AND not-a-padding-slot.
+
+        Memoized on (filter signature, manifest version) — including the
+        no-filter validity mask, which is identical for every unfiltered
+        search and was previously rebuilt + re-transferred per batch.
+        """
+        empty = filter_obj is None or filter_obj.is_empty()
+        key = (None if empty else filter_obj.signature(),
+               getattr(self.manifest, "version", 0))
+        cache = getattr(self, "_mask_cache", None)
+        if cache is None:
+            cache = self._mask_cache = {}
+        cached = cache.get(key)
+        if cached is not None:
+            return cached
         n, ds = self.num_shards, self.docs_per_shard
         mask = np.zeros((n * ds,), dtype=np.float32)
         mask[: self.num_docs] = 1.0
-        if filter_obj is not None and not filter_obj.is_empty():
+        if not empty:
             fm = filter_obj.evaluate(self.manifest).astype(np.float32)
             mask[: self.num_docs] *= fm
-        return jax.device_put(
+        dev = jax.device_put(
             jnp.asarray(mask.reshape(n, ds)), NamedSharding(self.mesh, P(self.axis))
         )
+        if len(cache) >= 64:
+            cache.pop(next(iter(cache)))
+        cache[key] = dev
+        return dev
 
 
 # ---------------------------------------------------------------------------

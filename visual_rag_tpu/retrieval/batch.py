@@ -73,12 +73,16 @@ def pad_queries_raw(queries: Sequence[np.ndarray], dim: int,
     nq = round_up(max(nq_max, 8), 8)  # sublane-aligned for the kernels
     tokens = np.zeros((b, nq, dim), dtype=wire_dtype)
     mask = np.zeros((b, nq), dtype=np.float32)
+    # raw (unnormalized) values beyond the fp16 range would overflow to inf
+    # on the wire and poison that query's normalization; the clip is free in
+    # the host copy loop and a no-op for in-range embeddings
+    lim = float(np.finfo(np.float16).max) if wire_dtype == np.float16 else None
     for i, q in enumerate(queries):
         q = np.asarray(q)
         if q.ndim == 1:
             q = q[None, :]
         t = q.shape[0]
-        tokens[i, :t] = q
+        tokens[i, :t] = q if lim is None else np.clip(q, -lim, lim)
         mask[i, :t] = 1.0
     return jax.device_put((tokens, mask))
 
@@ -195,7 +199,9 @@ def xla_exhaustive_batch(
         out = jnp.sum(per_q, axis=1)  # [B, chunk]
         if scales_c is not None:
             out = out * scales_c[None, :]
-        return out
+        # empty (0-token) docs must never outrank real docs with negative
+        # MaxSim sums — match the rerank path, which never surfaces them
+        return jnp.where(has[None, :], out, NEG_INF)
 
     oi = offs_p.reshape(n_chunks, chunk)
     li = lens_p.reshape(n_chunks, chunk)

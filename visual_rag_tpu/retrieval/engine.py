@@ -165,6 +165,7 @@ class RetrievalEngine(EngineCommon):
             raise ValueError(f"stage1_cut must be auto|exact|approx, got {stage1_cut}")
         self.stage1_cut = stage1_cut
         self._batch_scorer = None
+        self._mask_cache: Dict[Any, jnp.ndarray] = {}
         from visual_rag_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -190,10 +191,27 @@ class RetrievalEngine(EngineCommon):
             "pooled": jnp.asarray(q_pooled),
         }
 
-    def _doc_mask(self, filter_obj: Optional[PayloadFilter]) -> Optional[jnp.ndarray]:
+    def _doc_mask(
+        self, filter_obj: Optional[PayloadFilter], as_float: bool = False
+    ) -> Optional[jnp.ndarray]:
+        """Device mask for a filter, memoized on (signature, manifest
+        version): the harness's per_dataset scope applies ONE filter for
+        hundreds of consecutive queries, and re-evaluating + re-transferring
+        the identical mask per search was pure host overhead."""
         if filter_obj is None or filter_obj.is_empty():
             return None
-        return jnp.asarray(filter_obj.evaluate(self.index.manifest))
+        key = (filter_obj.signature(), self.index.manifest.version, as_float)
+        cached = self._mask_cache.get(key)
+        if cached is not None:
+            return cached
+        if as_float:
+            dev = jnp.asarray(self._doc_mask(filter_obj), jnp.float32)
+        else:
+            dev = jnp.asarray(filter_obj.evaluate(self.index.manifest))
+        if len(self._mask_cache) >= 64:  # bound device memory held by masks
+            self._mask_cache.pop(next(iter(self._mask_cache)))
+        self._mask_cache[key] = dev
+        return dev
 
     # -- store-level scoring -------------------------------------------------
 
@@ -212,12 +230,11 @@ class RetrievalEngine(EngineCommon):
             )
         # Single-vector store scored with tokens: sum_q max over the single
         # row = sum_q dot (Qdrant treats the single vector as a 1-row doc).
-        sims = score_single(store.values, q_tokens[0], store.scales,
-                            compute_dtype=self.compute_dtype)
-        for i in range(1, int(q_tokens.shape[0])):
-            sims = sims + score_single(store.values, q_tokens[i], store.scales,
-                                       compute_dtype=self.compute_dtype)
-        return sims
+        # dot is linear in the query, so the token sum folds into ONE
+        # dispatch: sum_q (values . q) == values . (sum_q q) — the previous
+        # per-token loop paid a 10-30 ms tunnel RTT per query token.
+        return score_single(store.values, jnp.sum(q_tokens, axis=0),
+                            store.scales, compute_dtype=self.compute_dtype)
 
     def _score_store_pooled(self, name: str, q_pooled: jnp.ndarray) -> jnp.ndarray:
         store = self.index.store(name)
@@ -408,9 +425,8 @@ class RetrievalEngine(EngineCommon):
         wire = np.float16 if jax.default_backend() == "tpu" else np.float32
         tokens, qmask_f = B.pad_queries_raw(query_embeddings, dim, wire_dtype=wire)
         d = self.index.num_docs
-        doc_mask = self._doc_mask(filter_obj)
         # None skips the mask branch entirely (and its host->device transfer)
-        doc_mask_f = None if doc_mask is None else jnp.asarray(doc_mask, jnp.float32)
+        doc_mask_f = self._doc_mask(filter_obj, as_float=True)
         use_pallas = self.batch_scorer.use_pallas
         ragged = self._fused_arrays(self.full_vector_name)
         max_len = self.index.store(self.full_vector_name).max_len

@@ -30,6 +30,27 @@ class PayloadFilter:
     def is_empty(self) -> bool:
         return not self.must and self.ids is None
 
+    def signature(self) -> Tuple:
+        """Hashable identity for mask caching (engine._doc_mask memo).
+
+        The reference harness's per_dataset scope re-applies ONE filter for
+        hundreds of consecutive queries (run_qdrant_beir.py:1987-1997);
+        re-evaluating + re-transferring the identical mask per search was
+        pure host overhead. List values and id sets are order-insensitive
+        (MatchAny / HasIdCondition semantics), so the signature sorts them;
+        large id sets hash as a frozenset (O(n), still far cheaper than the
+        per-doc evaluation they replace).
+        """
+        must_sig = tuple(
+            (field,
+             tuple(sorted(map(repr, value)))
+             if isinstance(value, (list, tuple, set, frozenset)) else value)
+            for field, value in self.must
+        )
+        ids_sig = (None if self.ids is None
+                   else (len(self.ids), hash(frozenset(self.ids))))
+        return (must_sig, ids_sig)
+
     def evaluate(self, manifest) -> np.ndarray:
         """Boolean mask [num_docs] over the manifest.
 

@@ -149,7 +149,9 @@ def rerank_ragged(
     scores = jnp.sum(per_q, axis=1)
     if scales is not None:
         scores = scores * scales[cand]
-    return jnp.where(valid_cand, scores, NEG_INF)
+    # empty (0-token) docs score NEG_INF, not 0.0 — they must never outrank
+    # real docs whose MaxSim sum is negative (ADVICE.md r2)
+    return jnp.where(valid_cand & has_tokens, scores, NEG_INF)
 
 
 @partial(jax.jit, static_argnames=("max_len", "chunk", "compute_dtype"))

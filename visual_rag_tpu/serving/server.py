@@ -151,8 +151,9 @@ class DynamicBatcher:
         # Depth-1 pipeline over the engine's dispatch/finish split: batch i's
         # device work overlaps batch i+1's collection + host prep, so the
         # batcher's cycle time is max(device, collection) instead of their
-        # sum. Falls back to synchronous search for engines without the split
-        # (e.g. ShardedEngine).
+        # sum. Both RetrievalEngine and ShardedEngine implement the split;
+        # the synchronous fallback only triggers for custom engine objects
+        # without _dispatch_batch.
         pipelined = hasattr(self.engine, "_dispatch_batch")
         in_flight: List[Any] = []  # [(group, handle)]
         while not self._stop.is_set():

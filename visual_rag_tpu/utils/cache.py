@@ -17,6 +17,11 @@ _enabled = False
 
 def enable_compilation_cache(path: str | None = None) -> bool:
     global _enabled
+    if os.environ.get("VISUALRAG_DISABLE_COMPILE_CACHE"):
+        # kill switch: forced-CPU dry runs disable the cache so AOT results
+        # compiled under other host CPU feature sets don't spray
+        # machine-mismatch warnings (and CPU compiles are cheap anyway)
+        return False
     if _enabled:
         return True
     try:
