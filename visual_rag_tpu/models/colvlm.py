@@ -26,6 +26,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 DEFAULT_EMBED_DIM = 128
 
@@ -91,6 +92,14 @@ class TextConfig:
     mlp_act: str = "silu"  # Gemma (ColPali) uses gelu_tanh GeGLU
     rms_offset: bool = False  # Gemma RMSNorm computes x * (1 + w)
     embed_scale: bool = False  # Gemma scales embeddings by sqrt(hidden)
+    # PaliGemma is a prefix-LM: the whole embedding input (image + text) is
+    # prompt, so HF builds a FULL bidirectional mask for the ColPali forward
+    # (no labels, no generation). Llama/Qwen backbones stay causal.
+    causal: bool = True
+    # Qwen2.5-VL M-RoPE: half-dim frequency bands partitioned into
+    # (temporal, height, width) sections; image tokens rotate by their 2D
+    # grid coordinates (HF get_rope_index). None = standard 1D RoPE.
+    mrope_section: Optional[tuple] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,7 +140,7 @@ class ColVLMConfig:
             text=TextConfig(hidden=2048, layers=18, heads=8, kv_heads=1,
                             mlp_hidden=16384, vocab=257216, rope_theta=10000.0,
                             mlp_act="gelu_tanh", rms_offset=True,
-                            embed_scale=True),
+                            embed_scale=True, causal=False),
             spatial_merge=1,
             image_token_id=257152,
             proj_bias=True, connector_bias=True, hf_layout="paligemma",
@@ -149,7 +158,7 @@ class ColVLMConfig:
                                 post_ln=False, rope_2d=True),
             text=TextConfig(hidden=2048, layers=36, heads=16, kv_heads=2,
                             mlp_hidden=11008, vocab=151936, rope_theta=1000000.0,
-                            attn_qkv_bias=True),
+                            attn_qkv_bias=True, mrope_section=(16, 24, 24)),
             spatial_merge=2,
             image_token_id=151655,
             proj_bias=True, hf_layout="qwen2.5",
@@ -168,12 +177,30 @@ class ColVLMConfig:
         )
 
 
-def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """Rotary embedding over the last dim of [B, T, H, Dh]."""
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float,
+          mrope_section=None) -> jnp.ndarray:
+    """Rotary embedding over the last dim of [B, T, H, Dh].
+
+    positions: [B, T] (standard 1D), or [B, T, 3] with ``mrope_section``
+    (Qwen2.5-VL M-RoPE): the half-dim frequency bands are partitioned into
+    (temporal, height, width) sections and each band rotates by its own
+    axis's position (HF Qwen2_5_VLRotaryEmbedding + the mrope_section cos/sin
+    interleave in modeling_qwen2_5_vl.py). Text-only sequences carry equal
+    positions on all three axes, so M-RoPE degenerates to standard RoPE.
+    """
     dh = x.shape[-1]
     half = dh // 2
     freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) / half))
-    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, half]
+    if mrope_section is not None and positions.ndim == 3:
+        assert sum(mrope_section) == half, (mrope_section, half)
+        axis_of_freq = jnp.asarray(
+            np.repeat(np.arange(3), np.asarray(mrope_section)))  # [half]
+        pos_sel = jnp.take(positions, axis_of_freq, axis=2)  # [B, T, half]
+        angles = pos_sel.astype(jnp.float32) * freqs  # [B, T, half]
+    else:
+        if positions.ndim == 3:  # 3D positions without sections: axes equal
+            positions = positions[..., 0]
+        angles = positions[..., None].astype(jnp.float32) * freqs  # [B, T, half]
     cos = jnp.cos(angles)[:, :, None, :]
     sin = jnp.sin(angles)[:, :, None, :]
     x1, x2 = x[..., :half], x[..., half:]
@@ -234,6 +261,7 @@ class GQAttention(nn.Module):
     out_bias: bool = False  # SigLIP/Qwen-ViT carry an output-proj bias
 
     rope_2d_theta: Optional[float] = None  # set -> 2D vision rotary
+    mrope_section: Optional[tuple] = None  # set -> Qwen2.5-VL text M-RoPE
 
     @nn.compact
     def __call__(self, x, mask, positions=None, segments=None,
@@ -255,8 +283,8 @@ class GQAttention(nn.Module):
         elif self.rope_theta is not None:
             if positions is None:
                 positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
-            q = _rope(q, positions, self.rope_theta)
-            k = _rope(k, positions, self.rope_theta)
+            q = _rope(q, positions, self.rope_theta, self.mrope_section)
+            k = _rope(k, positions, self.rope_theta, self.mrope_section)
         rep = self.heads // self.kv_heads
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
@@ -365,8 +393,10 @@ class DecoderBlock(nn.Module):
         off = self.cfg.rms_offset
         h = x + GQAttention(
             heads=self.cfg.heads, kv_heads=self.cfg.kv_heads,
-            rope_theta=self.cfg.rope_theta, causal=True, dtype=self.dtype,
+            rope_theta=self.cfg.rope_theta, causal=self.cfg.causal,
+            dtype=self.dtype,
             ring_axis=self.cfg.ring_axis, qkv_bias=self.cfg.attn_qkv_bias,
+            mrope_section=self.cfg.mrope_section,
             name="attn",
         )(RMSNorm(offset=off, name="ln1")(x), mask, positions)
         if self.cfg.moe_experts > 0:
@@ -468,9 +498,20 @@ class VisionTower(nn.Module):
                 (self.cfg.max_patches, self.cfg.hidden))
             if self.cfg.pixel_shuffle > 1:
                 # per-tile position table: SigLIP positions index within each
-                # (8*s)^2-patch tile, not across the page's tile sequence
-                tile_patches = (8 * self.cfg.pixel_shuffle) ** 2
-                pos_idx = jnp.arange(n) % tile_patches
+                # (8*s)^2-patch tile, not across the page's tile sequence.
+                # Idefics3VisionEmbeddings bucketizes fractional coordinates
+                # with a (1 - 1e-6) epsilon (modeling_idefics3.py), so at full
+                # tile resolution the per-axis ids come out [0, 0, 1, ...,
+                # side-2] — NOT sequential. SmolVLM was trained with this
+                # quirk; replicating it is required for checkpoint fidelity
+                # (verified against the live torch forward in
+                # tests/test_torch_forward_parity.py).
+                side = 8 * self.cfg.pixel_shuffle
+                tile_patches = side * side
+                axis_bucket = jnp.maximum(jnp.arange(side) - 1, 0)
+                tile_pos = (axis_bucket[:, None] * side
+                            + axis_bucket[None, :]).reshape(-1)
+                pos_idx = tile_pos[jnp.arange(n) % tile_patches]
                 x = x + pos[pos_idx][None, :, :].astype(self.dtype)
             else:
                 x = x + pos[:n][None, :, :].astype(self.dtype)
@@ -569,9 +610,44 @@ class ColVLM(nn.Module):
             feats = x.reshape(b, tiles * 64, h * sps * sps)
         return self.connector(feats)
 
-    def _lm(self, embeds, mask):
-        positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
-        positions = jnp.maximum(positions, 0)
+    def _mrope_positions(self, input_ids, attn_mask, patch_positions):
+        """[B, L, 3] (t, h, w) positions — HF Qwen2_5_VLModel.get_rope_index.
+
+        Text tokens carry equal positions on all axes; image tokens carry
+        (block_start, block_start + row, block_start + col) of their MERGED
+        grid cell, and the block advances the running counter by
+        max(grid_h_eff, grid_w_eff).
+        """
+        mask_i = attn_mask.astype(jnp.int32)
+        is_img = (input_ids == self.cfg.image_token_id) & (mask_i > 0)
+        if patch_positions is None:  # text-only: all axes equal
+            base = jnp.maximum(jnp.cumsum(mask_i, axis=1) - 1, 0)
+            return jnp.repeat(base[..., None], 3, axis=-1)
+        # merged-grid coords per image token: merge-block order means each
+        # group of merge^2 consecutive patches is one token (row-major cells)
+        m2 = self.cfg.spatial_merge ** 2
+        mer = patch_positions[:, ::m2, :] // self.cfg.spatial_merge  # [B, Ni, 2]
+        slot = jnp.clip(jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1,
+                        0, mer.shape[1] - 1)
+        h_c = jnp.take_along_axis(mer[..., 0], slot, axis=1)  # [B, L]
+        w_c = jnp.take_along_axis(mer[..., 1], slot, axis=1)
+        nxt_img = jnp.concatenate(
+            [is_img[:, 1:], jnp.zeros_like(is_img[:, :1])], axis=1)
+        block_end = is_img & ~nxt_img
+        adv = jnp.where(is_img,
+                        jnp.where(block_end, jnp.maximum(h_c, w_c) + 1, 0),
+                        mask_i)
+        adv = adv * mask_i
+        excl = jnp.cumsum(adv, axis=1) - adv  # position base BEFORE each token
+        return jnp.stack(
+            [excl,
+             excl + jnp.where(is_img, h_c, 0),
+             excl + jnp.where(is_img, w_c, 0)], axis=-1)
+
+    def _lm(self, embeds, mask, positions=None):
+        if positions is None:
+            positions = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+            positions = jnp.maximum(positions, 0)
         h = embeds
         if self.cfg.text.scan_layers:
             h = self.scan_blocks(h, mask, positions)
@@ -609,7 +685,12 @@ class ColVLM(nn.Module):
             x = jnp.where(is_img[..., None], gathered.astype(x.dtype), x)
         if self.cfg.text.embed_scale:  # Gemma embedding normalizer
             x = x * (self.cfg.text.hidden ** 0.5)
-        h = self._lm(x, attn_mask)
+        positions = None
+        if self.cfg.text.mrope_section is not None:
+            positions = self._mrope_positions(
+                input_ids, attn_mask,
+                patch_positions if patches is not None else None)
+        h = self._lm(x, attn_mask, positions)
         return self._project(h, attn_mask)
 
     def embed_queries(self, input_ids, attn_mask):
