@@ -1,5 +1,17 @@
-"""Multi-host init wiring (mocked jax.distributed; no pod available here)."""
+"""Multi-host init: mocked wiring checks + a REAL 2-process group test.
 
+The real test (TestRealTwoProcessGroup) spawns two subprocesses that each
+force a 4-device virtual CPU platform, join one jax.distributed group over
+localhost (Gloo collectives — the CPU stand-in for DCN), shard a corpus over
+the 8-device global mesh, and assert sharded-search id parity against the
+single-device engine in BOTH processes. SURVEY §2.5 DCN row, un-mocked.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
 
 import jax
 import pytest
@@ -53,3 +65,33 @@ class TestGlobalServingMesh:
         mesh = multihost.global_serving_mesh()
         assert mesh.axis_names == ("data",)
         assert mesh.devices.size == jax.device_count()
+
+
+class TestRealTwoProcessGroup:
+    def test_sharded_search_id_parity_across_processes(self):
+        """2 live processes x 4 CPU devices -> one 8-device serving mesh."""
+        worker = Path(__file__).parent / "multihost_worker.py"
+        with socket.socket() as s:  # grab a free localhost port
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(pid), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env)
+            for pid in (0, 1)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=420)
+                outs.append(out)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            pytest.fail(f"multi-host workers timed out; partial: {outs}")
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+            assert f"MULTIHOST_SEARCH_OK pid={pid}" in out, out[-2000:]

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "l2_normalize",
@@ -23,7 +24,9 @@ __all__ = [
 
 _EPS = 1e-8  # matches reference normalization epsilon (pooling.py:497-500)
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = np.float32(-1e30)  # np scalar: a jnp scalar here would initialize the
+# backend at import time (breaks jax.distributed.initialize-after-import and
+# costs a tunnel round-trip on remote backends)
 
 
 def _accept(x):

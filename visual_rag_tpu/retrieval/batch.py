@@ -33,7 +33,9 @@ from visual_rag_tpu.ops.kernels.prefetch_topk import (
     pooled_maxsim_scores_qbatch,
 )
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = np.float32(-1e30)  # np scalar: a jnp scalar here would initialize the
+# backend at import time (breaks jax.distributed.initialize-after-import and
+# costs a tunnel round-trip on remote backends)
 
 
 def round_up(x: int, m: int) -> int:

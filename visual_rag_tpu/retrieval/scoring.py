@@ -16,9 +16,12 @@ from functools import partial
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = np.float32(-1e30)  # np scalar: a jnp scalar here would initialize the
+# backend at import time (breaks jax.distributed.initialize-after-import and
+# costs a tunnel round-trip on remote backends)
 
 
 def _apply_mask(scores: jnp.ndarray, doc_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
