@@ -67,10 +67,13 @@ def search_collection(
     stage1_mode: str = "pooled_query_vs_standard_pooling",
     stage1_k: int = 1000,
     stage2_k: int = 300,
-) -> List[Dict[str, Any]]:
+    return_query: bool = False,
+):
     embedder = get_embedder(model_name)
     engine = get_engine(index_dir, collection)
     q = embedder.embed_query(query)
-    return engine.search_embedded(
+    results = engine.search_embedded(
         q, mode=mode, top_k=top_k, prefetch_k=prefetch_k,
         stage1_mode=stage1_mode, stage1_k=stage1_k, stage2_k=stage2_k)
+    # the playground needs the query embedding back for saliency overlays
+    return (results, q) if return_query else results

@@ -10,7 +10,7 @@ import time
 import streamlit as st
 
 from demo.config import RETRIEVAL_MODES, STAGE1_MODES
-from demo.engine_utils import sample_points, search_collection
+from demo.engine_utils import get_engine, sample_points, search_collection
 
 
 def render_playground_tab(state):
@@ -34,17 +34,57 @@ def render_playground_tab(state):
     if not st.button("Search"):
         return
     t0 = time.time()
-    results = search_collection(
+    results, q_emb = search_collection(
         state["index_dir"], state["collection"], state["model"], query,
         mode=mode, top_k=int(top_k), prefetch_k=int(prefetch_k),
-        stage1_mode=stage1_mode)
+        stage1_mode=stage1_mode, return_query=True)
     st.caption(f"{len(results)} results in {(time.time()-t0)*1000:.0f} ms")
+    engine = get_engine(state["index_dir"], state["collection"])
+    max_score = max((r.get("score_final") or 0 for r in results), default=0) or 1
     for r in results:
         payload = r.get("payload") or {}
+        rel = (r.get("score_final") or 0) / max_score * 100
         with st.container(border=True):
             st.markdown(
-                f"**#{r['rank']+1}** — score {r['score_final']:.4f} — "
-                f"{payload.get('filename', r['id'])} "
+                f"**#{r['rank']+1}** — score {r['score_final']:.4f} "
+                f"(🎯 {rel:.0f}%) — {payload.get('filename', r['id'])} "
                 f"p{payload.get('page_number', '?')}")
             scores = {k: v for k, v in r.items() if k.startswith("score_")}
             st.caption(", ".join(f"{k}={v:.4f}" for k, v in scores.items()))
+            _render_result_media(engine, q_emb, r, payload)
+
+
+def _render_result_media(engine, q_emb, result, payload):
+    """Page image tabs + saliency overlay (reference playground.py:237-335)."""
+    from demo.media import load_payload_image, overlay_for_result
+
+    meta_cols = st.columns(4)
+    for col, (label, key) in zip(meta_cols, [
+            ("Tiles", "num_tiles"), ("Visual tokens", "num_visual_tokens"),
+            ("Original", "original_width"), ("Resized", "resized_width")]):
+        v = payload.get(key)
+        if v is not None:
+            if key.endswith("_width"):
+                v = f"{v}x{payload.get(key.replace('_width', '_height'), '?')}"
+            col.caption(f"{label}: {v}")
+
+    tabs = st.tabs(["🔥 Saliency", "📷 Resized", "🖼️ Original", "✂️ Cropped"])
+    with tabs[0]:
+        out = overlay_for_result(engine, q_emb, result)
+        if out is None:
+            st.info("No stored page image / token grid for saliency")
+        else:
+            overlay, info = out
+            st.image(overlay, width=600)
+            st.caption(f"layout: {info.get('layout')}")
+    for tab, kind in zip(tabs[1:], ("resized", "original", "cropped")):
+        with tab:
+            img = load_payload_image(payload, kind)
+            url = payload.get(f"{kind}_url")
+            if img is not None:
+                st.image(img, width=600)
+                st.caption(url)
+            elif url:  # remote (e.g. Cloudinary) URL: streamlit fetches it
+                st.image(url, width=600)
+            else:
+                st.info(f"No {kind} image available")

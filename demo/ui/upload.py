@@ -40,9 +40,14 @@ def render_upload_tab(state):
             **{n: VectorSpec(n, "padded", dim) for n in plan["names"]},
         }
         builder = IndexBuilder(CollectionSchema(vectors=vectors))
+    from visual_rag_tpu.pipeline import LocalImageStore
+
+    # page images stored beside the collection -> playground renders pages
+    # + saliency overlays from the payload URLs
     pipeline = ProcessingPipeline(
         embedder, builder, strategy=strategy,
-        crop_config=CropEmptyConfig() if crop else None)
+        crop_config=CropEmptyConfig() if crop else None,
+        image_uploader=LocalImageStore(root=str(coll_path / "image_store")))
 
     progress = st.progress(0.0)
     status = st.empty()

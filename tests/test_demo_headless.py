@@ -170,3 +170,70 @@ class TestResultsDiscovery:
             "ndcg@10": 0.93, "recall@10": 0.95, "qps": 123.4, "p95_ms": 8.7}]
         assert find_main_result_file("coll", "two_stage",
                                      tmp_path).name == "demo_eval__ds1.json"
+
+
+class TestPlaygroundMedia:
+    """VERDICT r2 #6: page images + saliency overlays in the playground,
+    headless-tested (reference demo/ui/playground.py:237-335)."""
+
+    def test_pipeline_stores_images_and_overlay_renders(self, tmp_path):
+        pytest.importorskip("PIL")
+        pytest.importorskip("matplotlib")
+        from demo.media import (
+            load_payload_image,
+            overlay_for_result,
+            payload_image_path,
+        )
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+        from visual_rag_tpu.index.builder import VectorSpec
+        from visual_rag_tpu.models.colvlm import ColVLMConfig
+        from visual_rag_tpu.models.embedder import VisualEmbedder
+        from visual_rag_tpu.pipeline import (
+            CropEmptyConfig,
+            LocalImageStore,
+            ProcessingPipeline,
+        )
+        from visual_rag_tpu.pipeline.pipeline import experimental_vector_plan
+        from visual_rag_tpu.retrieval import RetrievalEngine
+
+        cfg = ColVLMConfig.tiny()
+        embedder = VisualEmbedder("vidore/colSmol-500M", config=cfg, batch_size=2)
+        plan = experimental_vector_plan("colsmol")
+        vectors = {
+            "initial": VectorSpec("initial", "ragged", cfg.embed_dim),
+            "mean_pooling": VectorSpec("mean_pooling", "padded", cfg.embed_dim),
+            "global_pooling": VectorSpec("global_pooling", "single", cfg.embed_dim),
+            **{n: VectorSpec(n, "padded", cfg.embed_dim) for n in plan["names"]},
+        }
+        builder = IndexBuilder(
+            CollectionSchema(vectors=vectors, storage_dtype="float32"))
+        pipeline = ProcessingPipeline(
+            embedder, builder, strategy="pooling",
+            crop_config=CropEmptyConfig(), upload_batch_size=2,
+            image_uploader=LocalImageStore(root=str(tmp_path / "imgs")))
+        rng = np.random.default_rng(0)
+        images = [(rng.random((200, 150, 3)) * 255).astype(np.uint8)
+                  for _ in range(2)]
+        stats = pipeline.process_images(images, "media.pdf", {"year": 2024})
+        assert stats.pages_processed == 2
+
+        payload = builder.manifest.payload(0)
+        assert payload.get("resized_url", "").startswith("file://")
+        assert payload.get("original_url", "").startswith("file://")
+        assert payload["original_width"] == 150 and payload["original_height"] == 200
+        assert payload_image_path(payload).is_file()
+        img = load_payload_image(payload)
+        assert img is not None and img.size[0] > 0
+
+        engine = RetrievalEngine(builder.seal(), compute_dtype="float32")
+        q = embedder.embed_query("what is in this page")
+        res = engine.search_embedded(q, mode="two_stage", top_k=1, prefetch_k=2)
+        out = overlay_for_result(engine, q, res[0])
+        assert out is not None
+        overlay, info = out
+        base = load_payload_image(res[0]["payload"])
+        assert overlay.size == base.size  # overlay composited onto the page
+        assert info.get("layout") in ("tiles", "square", "strip", "grid")
+        # the overlay actually changed pixels (heat regions were composited)
+        assert np.abs(np.asarray(overlay, float)
+                      - np.asarray(base.convert("RGB"), float)).max() > 1

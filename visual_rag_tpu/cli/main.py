@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "legacy", "uniform", "triangular", "gaussian"))
     p.add_argument("--colsmol-experimental-2d", action="store_true")
     p.add_argument("--crop", action="store_true", help="crop empty page borders")
+    p.add_argument("--image-store", metavar="DIR", default=None,
+                   help="store page images (original/cropped/resized JPEGs) "
+                        "under DIR and record their file:// URLs in payloads "
+                        "— enables playground image + saliency rendering")
     p.add_argument("--metadata-mapping", help="JSON file {filename: metadata}")
     p.add_argument("--no-skip-existing", action="store_true")
     p.add_argument("--dry-run", action="store_true")
@@ -122,7 +126,11 @@ def cmd_process(args) -> int:
     from visual_rag_tpu.index import CollectionSchema, IndexBuilder
     from visual_rag_tpu.index.builder import VectorSpec
     from visual_rag_tpu.models.embedder import VisualEmbedder
-    from visual_rag_tpu.pipeline import CropEmptyConfig, ProcessingPipeline
+    from visual_rag_tpu.pipeline import (
+        CropEmptyConfig,
+        LocalImageStore,
+        ProcessingPipeline,
+    )
 
     pdf_root = Path(args.pdf_dir)
     pdfs = [pdf_root] if pdf_root.is_file() else sorted(pdf_root.glob("**/*.pdf"))
@@ -172,6 +180,8 @@ def cmd_process(args) -> int:
         crop_config=CropEmptyConfig() if args.crop else None,
         skip_existing=not args.no_skip_existing,
         metadata_mapping=mapping,
+        image_uploader=(LocalImageStore(root=args.image_store)
+                        if args.image_store else None),
     )
     totals = {"processed": 0, "skipped": 0, "failed": 0}
     t0 = time.time()

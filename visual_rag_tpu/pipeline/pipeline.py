@@ -103,6 +103,7 @@ class ProcessingPipeline:
         skip_existing: bool = True,
         metadata_mapping: Optional[Dict[str, Dict[str, Any]]] = None,
         prefetch_workers: int = 4,
+        image_uploader=None,
     ):
         if strategy not in STRATEGIES:
             raise ValueError(f"Unknown strategy: {strategy}. Choose one of {STRATEGIES}")
@@ -117,6 +118,11 @@ class ProcessingPipeline:
         self.prefetch_workers = int(prefetch_workers)
         self.skip_existing = bool(skip_existing)
         self.metadata_mapping = metadata_mapping or {}
+        # Page-image store (reference pipeline.py:553-564 Cloudinary upload):
+        # LocalImageStore / CloudinaryUploader; None = no page images kept.
+        # The demo playground renders page images + saliency overlays from
+        # the URLs this writes into the payload.
+        self.image_uploader = image_uploader
         self.plan = experimental_vector_plan(
             getattr(embedder, "backend", "colpali"),
             pooling_windows=pooling_windows,
@@ -237,9 +243,7 @@ class ProcessingPipeline:
         self._embed_prepared(prepared, filename, base_meta, stats)
 
     def _embed_prepared(self, prepared, filename, base_meta, stats: PipelineStats):
-        pages = [p for p, _, _ in prepared]
         images = [img for _, img, _ in prepared]
-        crop_metas = [cm for _, _, cm in prepared]
         try:
             embeddings, token_infos = self.embedder.embed_images(
                 images, return_token_info=True)
@@ -254,7 +258,8 @@ class ProcessingPipeline:
                 except Exception as exc2:
                     embeddings.append(None)
                     token_infos.append({"error": str(exc2)})
-        for page, emb, info, crop_meta in zip(pages, embeddings, token_infos, crop_metas):
+        for (page, cropped_img, crop_meta), emb, info in zip(
+                prepared, embeddings, token_infos):
             if emb is None:
                 stats.pages_failed += 1
                 stats.failures.append({
@@ -264,7 +269,8 @@ class ProcessingPipeline:
                 continue
             try:
                 self._process_single_page(page, emb, info, crop_meta, filename,
-                                          base_meta, stats)
+                                          base_meta, stats,
+                                          cropped_img=cropped_img)
             except Exception as exc:
                 stats.pages_failed += 1
                 stats.failures.append({
@@ -300,7 +306,7 @@ class ProcessingPipeline:
         return out
 
     def _process_single_page(self, page, emb, info, crop_meta, filename,
-                             base_meta, stats: PipelineStats):
+                             base_meta, stats: PipelineStats, cropped_img=None):
         chunk_id = self.generate_chunk_id(filename, page["page_number"])
         visual = self.embedder.extract_visual_embedding(emb, info)
         initial = visual if self.strategy in ("pooling", "all") else np.asarray(emb)
@@ -330,6 +336,7 @@ class ProcessingPipeline:
             "grid_w_eff": info.get("grid_w_eff"),
             "visual_token_indices": list(info.get("visual_token_indices") or []),
             "crop": crop_meta,
+            **self._upload_page_images(page, cropped_img, crop_meta, chunk_id),
             "pooling": {
                 "strategy": self.strategy,
                 "mean_pool_rows": int(mean_pool_for_store.shape[0]),
@@ -346,6 +353,60 @@ class ProcessingPipeline:
         }
         self._queue.append({"id": chunk_id, "vectors": vectors, "payload": payload})
         stats.pages_processed += 1
+
+    def _upload_page_images(self, page, cropped_img, crop_meta,
+                            chunk_id: str) -> Dict[str, Any]:
+        """Store original/cropped/resized page images; URL + dimension payload
+        fields (reference pipeline.py:553-618: Cloudinary upload + saliency-
+        ready dims). No-op ({}) without an image_uploader."""
+        if self.image_uploader is None:
+            return {}
+        import numpy as np  # local: keep module import surface unchanged
+
+        def _dims(img):
+            if img is None:
+                return None
+            if hasattr(img, "width") and hasattr(img, "height"):  # PIL
+                return int(img.width), int(img.height)
+            a = np.asarray(img)
+            return int(a.shape[1]), int(a.shape[0])
+
+        original = page.get("image")
+        cropped = cropped_img if crop_meta else None
+        try:
+            resized, tile_rows, tile_cols = self.pdf_processor.resize_for_colpali(
+                cropped_img if cropped_img is not None else original)
+        except Exception:
+            resized, tile_rows, tile_cols = None, None, None
+        out: Dict[str, Any] = {}
+        try:
+            if cropped is not None and resized is not None:
+                up = self.image_uploader.upload_original_cropped_and_resized(
+                    original, cropped, resized, chunk_id)
+            elif resized is not None:
+                up = self.image_uploader.upload_original_and_resized(
+                    original, resized, chunk_id)
+            else:
+                up = {"original": self.image_uploader.upload_image(
+                    original, chunk_id)}
+        except Exception as exc:  # image store failures never fail the page
+            logger.warning("page image upload failed for %s: %s", chunk_id, exc)
+            return {}
+        for kind in ("original", "cropped", "resized"):
+            rec = up.get(kind)
+            if rec and rec.get("url"):
+                out[f"{kind}_url"] = rec["url"]
+        for kind, img in (("original", original), ("cropped", cropped),
+                          ("resized", resized)):
+            d = _dims(img)
+            if d:
+                out[f"{kind}_width"], out[f"{kind}_height"] = d
+        if crop_meta:
+            out["crop_empty_enabled"] = True
+            pct = (crop_meta.get("config") or {}).get("percentage_to_remove")
+            if pct is not None:
+                out["crop_empty_percentage_to_remove"] = pct
+        return out
 
     def _flush(self, force: bool, stats: PipelineStats):
         if not self._queue:
