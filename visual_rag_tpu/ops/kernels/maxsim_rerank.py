@@ -33,8 +33,8 @@ NEG_INF = -1e30  # python float: jnp scalars would be captured consts in pallas 
 
 
 def _make_kernel(max_len: int, group: int, n_slots: int):
-    def kernel(off_ref, len_ref, scale_ref, q_ref, qmask_ref, flat_hbm, out_ref,
-               scratch, sems):
+    def kernel(off_ref, len_ref, q_ref, qmask_ref, scale_ref, flat_hbm,
+               out_ref, scratch, sems):
         blk = pl.program_id(0)
         base = blk * group
 
@@ -56,7 +56,8 @@ def _make_kernel(max_len: int, group: int, n_slots: int):
         qm = qmask_ref[0]  # [1, NQ] f32
         nq = q.shape[0]
 
-        for g in range(group):  # static unroll: out lane index stays static
+        cols = []
+        for g in range(group):  # static unroll
             slot = g % n_slots
             nxt = g + n_slots - 1
             if nxt < group:
@@ -72,16 +73,20 @@ def _make_kernel(max_len: int, group: int, n_slots: int):
             col = jax.lax.broadcasted_iota(jnp.int32, (nq, max_len), 1)
             sims = jnp.where(col < ln, sims, NEG_INF)
             per_q = jnp.max(sims, axis=1, keepdims=True)  # [NQ, 1]
-            per_q = jnp.where(ln > 0, per_q, 0.0)
-            # [1,NQ]x[NQ,1] matmul -> scalar score; stored to SMEM output
-            # (scalar stores to VMEM are illegal on the compiled path).
-            score = jax.lax.dot_general(
-                qm, per_q,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # per-doc int8 dequant scale (1.0 for float stores)
-            out_ref[0, 0, g] = score[0, 0] * scale_ref[base + g]
+            # accumulate the candidate's per-query maxima as a COLUMN (held
+            # in vregs); the r2/r3 kernel extracted a scalar score per
+            # candidate into SMEM, and that vector->scalar move drained the
+            # pipeline every candidate (~1 us/candidate floor, FLAT in NQ
+            # and MAX_LEN — measured r3). All-vector accumulation keeps the
+            # loop pipelineable; ONE [1,NQ]x[NQ,G] matmul ends the block.
+            cols.append(jnp.where(ln > 0, per_q, 0.0))
+        scores = jax.lax.dot_general(
+            qm, jnp.concatenate(cols, axis=1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, G]
+        # per-doc int8 dequant scales ride as a VMEM vector (1.0 for floats)
+        out_ref[0, :, :] = scores * scale_ref[0, :, :]
 
     return kernel
 
@@ -96,7 +101,7 @@ def rerank_candidates(
     candidates: jnp.ndarray,  # [B, K] int32 doc ids, -1 = padding
     max_len: int,
     doc_scales: jnp.ndarray | None = None,  # [D] per-doc int8 scales
-    group: int = 8,
+    group: int = 16,  # r3 sweep: g16 44.7 ms vs g8 47.9 at 256x200 @ 50k
     n_slots: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -127,7 +132,7 @@ def rerank_candidates(
 
     n_blocks = (b * k_pad) // group
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # offsets, lengths, scales
+        num_scalar_prefetch=2,  # offsets, lengths
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(
@@ -140,10 +145,15 @@ def rerank_candidates(
                 lambda blk, *_: (blk * group // k_pad, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(  # per-candidate dequant scales, vector lane layout
+                (1, 1, group), lambda blk, *_: (blk, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),  # flat stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, group), lambda blk, *_: (blk, 0, 0), memory_space=pltpu.SMEM
+            (1, 1, group), lambda blk, *_: (blk, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((n_slots, max_len, dim), flat.dtype),
@@ -158,9 +168,9 @@ def rerank_candidates(
     )(
         cand_off,
         cand_len,
-        cand_scale,
         queries.astype(jnp.bfloat16 if flat.dtype == jnp.int8 else flat.dtype),
         jnp.asarray(qmask, jnp.float32)[:, None, :],
+        cand_scale.reshape(n_blocks, 1, group),
         flat,
     )
     scores = out.reshape(b, k_pad)[:, :k]
@@ -169,3 +179,194 @@ def rerank_candidates(
     # negative MaxSim sums (matches rerank_ragged / xla_exhaustive_batch)
     has = (cand_len > 0).reshape(b, k_pad)[:, :k]
     return jnp.where((candidates[:, :k] >= 0) & has, scores, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# Cross-query candidate dedup (VERDICT r2 #4)
+# ---------------------------------------------------------------------------
+
+
+_QL_PACK = 32768  # meta2 = qid * _QL_PACK + len (len < 32768 always)
+
+
+def _make_dedup_kernel(max_len: int, group: int, n_slots: int, total: int):
+    # SMEM budget forces packed scalar-prefetch arrays: at B*K = 51200 the
+    # six unpacked arrays (off/len/scale/slot/first/qid) cost 1.17 MB of the
+    # 1.00 MB scalar space (measured OOM). Packed: off, meta1 = slot*2+first,
+    # meta2 = qid*32768+len -> 3 arrays, ~0.6 MB (scales ride in VMEM).
+    def kernel(off_ref, meta1_ref, meta2_ref,
+               q_ref, qmask_t_ref, scale_ref, flat_hbm, out_ref,
+               scratch, sems):
+        blk = pl.program_id(0)
+        base = blk * group
+
+        def issue(j):
+            # one DMA per UNIQUE doc: duplicates (first==0) reuse the slot
+            # their predecessor in sorted order loaded
+            @pl.when(meta1_ref[j] % 2 > 0)
+            def _():
+                off = pl.multiple_of(off_ref[j], 32)
+                pltpu.make_async_copy(
+                    flat_hbm.at[pl.ds(off, max_len), :],
+                    scratch.at[meta1_ref[j] // 2],
+                    sems.at[meta1_ref[j] // 2],
+                ).start()
+
+        @pl.when(blk == 0)  # TPU grid is sequential: warm the pipeline once
+        def _():
+            for j in range(min(n_slots - 1, total)):
+                issue(j)
+
+        cols = []
+        for g in range(group):  # static unroll
+            glob = base + g
+            nxt = glob + n_slots - 1
+
+            @pl.when(nxt < total)
+            def _():
+                issue(nxt)
+
+            slot = meta1_ref[glob] // 2
+
+            @pl.when(meta1_ref[glob] % 2 > 0)
+            def _():
+                off = pl.multiple_of(off_ref[glob], 32)
+                pltpu.make_async_copy(
+                    flat_hbm.at[pl.ds(off, max_len), :],
+                    scratch.at[slot],
+                    sems.at[slot],
+                ).wait()
+
+            qid = meta2_ref[glob] // _QL_PACK
+            q = q_ref[qid]  # [NQ, dim] dynamic load from the full query block
+            qm_t = qmask_t_ref[qid]  # [NQ, 1] (transposed layout: no
+            # lane->sublane transpose exists in-kernel, and each candidate
+            # carries its OWN query's mask, so it must fold in per column)
+            docs = scratch[slot]  # [MAX_LEN, dim]
+            nq = q.shape[0]
+            ln = meta2_ref[glob] % _QL_PACK
+            sims = jax.lax.dot_general(
+                q, docs.astype(q.dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [NQ, MAX_LEN]
+            col = jax.lax.broadcasted_iota(jnp.int32, (nq, max_len), 1)
+            sims = jnp.where(col < ln, sims, NEG_INF)
+            per_q = jnp.max(sims, axis=1, keepdims=True)  # [NQ, 1]
+            per_q = jnp.where(ln > 0, per_q, 0.0) * qm_t
+            # all-vector accumulation (see _make_kernel): columns in vregs,
+            # one [1,NQ]x[NQ,G] matmul per block, no scalar stores
+            cols.append(per_q)
+        ones = jnp.ones((1, q_ref.shape[1]), jnp.float32)
+        scores = jax.lax.dot_general(
+            ones, jnp.concatenate(cols, axis=1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, G]
+        out_ref[0, :, :] = scores * scale_ref[0, :, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "group", "n_slots",
+                                             "interpret"))
+def rerank_candidates_dedup(
+    flat: jnp.ndarray,  # [N + pad, dim] ragged store
+    offsets: jnp.ndarray,  # [D] int32
+    lengths: jnp.ndarray,  # [D] int32
+    queries: jnp.ndarray,  # [B, NQ, dim]
+    qmask: jnp.ndarray,  # [B, NQ] bool/float
+    candidates: jnp.ndarray,  # [B, K] int32 doc ids, -1 = padding
+    max_len: int,
+    doc_scales: jnp.ndarray | None = None,
+    group: int = 16,
+    n_slots: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact MaxSim [B, K] with CROSS-QUERY candidate dedup.
+
+    The plain kernel's floor is per-candidate DMA issue cost (BENCH_SUMMARY:
+    27-28 ms for 256x200 candidates @ 100k docs, flat across group/slot
+    sweeps and unaffected by sorting alone). Realistic query batches share
+    candidates heavily; here the flattened (query, candidate) pairs are
+    sorted by doc id so duplicates are adjacent, each UNIQUE doc is DMA'd
+    once, and duplicate pairs compute from the already-resident VMEM slot.
+    Compute stays per-pair (each pair scores against its own query), so
+    results are bit-identical to rerank_candidates up to f32 reduction
+    order. Scores scatter back to [B, K] through the sort permutation.
+
+    Replaces the reference's per-candidate client-side rerank semantics
+    (two_stage.py:371-426) at lower HBM cost on shared-candidate batches.
+    """
+    max_len = ((int(max_len) + 31) // 32) * 32
+    b, k = candidates.shape
+    nq = queries.shape[1]
+    dim = queries.shape[2]
+    k_pad = int(pl.cdiv(k, group)) * group
+    cand_bk = candidates
+    if k_pad != k:
+        cand_bk = jnp.pad(candidates, ((0, 0), (0, k_pad - k)),
+                          constant_values=-1)
+    total = b * k_pad
+    flatc = cand_bk.reshape(-1)
+    order = jnp.argsort(flatc, stable=True)  # -1 padding sorts first
+    sortedc = flatc[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sortedc[1:] != sortedc[:-1]]) & (sortedc >= 0)
+    uniq_rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    slot_id = (jnp.maximum(uniq_rank, 0) % n_slots).astype(jnp.int32)
+    safe = jnp.maximum(sortedc, 0)
+    valid = sortedc >= 0
+    s_off = jnp.where(valid, offsets[safe], 0).astype(jnp.int32)
+    s_len = jnp.where(valid, lengths[safe], 0).astype(jnp.int32)
+    if doc_scales is None:
+        s_scale = jnp.ones_like(sortedc, dtype=jnp.float32)
+    else:
+        s_scale = jnp.where(valid, doc_scales[safe], 1.0).astype(jnp.float32)
+    qid = (order // k_pad).astype(jnp.int32)
+
+    assert max_len < _QL_PACK, max_len  # len packs into meta2's low bits
+    meta1 = slot_id * 2 + first.astype(jnp.int32)
+    meta2 = qid * _QL_PACK + s_len
+    n_blocks = total // group
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # off, meta1(slot,first), meta2(qid,len)
+        grid=(n_blocks,),
+        in_specs=[
+            # FULL query batch + mask resident in VMEM (constant index map:
+            # fetched once); sorted pairs mix queries within a block
+            pl.BlockSpec((b, nq, dim), lambda blk, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, nq, 1), lambda blk, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(  # per-candidate dequant scales (sorted order)
+                (1, 1, group), lambda blk, *_: (blk, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # flat stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group), lambda blk, *_: (blk, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, max_len, dim), flat.dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_dedup_kernel(max_len, group, n_slots, total),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, group), jnp.float32),
+        interpret=interpret,
+    )(
+        s_off, meta1, meta2,
+        queries.astype(jnp.bfloat16 if flat.dtype == jnp.int8 else flat.dtype),
+        jnp.asarray(qmask, jnp.float32)[:, :, None],
+        s_scale.reshape(n_blocks, 1, group),
+        flat,
+    )
+    # scatter sorted scores back to [B, k_pad] through the permutation
+    out_flat = jnp.zeros((total,), jnp.float32).at[order].set(out.reshape(-1))
+    scores = out_flat.reshape(b, k_pad)[:, :k]
+    has = (jnp.where(candidates >= 0, lengths[jnp.maximum(candidates, 0)], 0)
+           > 0)
+    return jnp.where((candidates >= 0) & has, scores, NEG_INF)

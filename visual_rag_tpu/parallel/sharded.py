@@ -39,7 +39,10 @@ from visual_rag_tpu.index.store import (
     RaggedMultiVectors,
     SingleVectors,
 )
-from visual_rag_tpu.ops.kernels.maxsim_rerank import rerank_candidates
+from visual_rag_tpu.ops.kernels.maxsim_rerank import (
+    rerank_candidates,
+    rerank_candidates_dedup,
+)
 from visual_rag_tpu.ops.kernels.prefetch_topk import (
     auto_block_d,
     pooled_maxsim_scores_qbatch,
@@ -325,10 +328,44 @@ def _gathered_tokens_padded(estore: Dict, tokens, qmask, cand):
     return jnp.where(cand >= 0, scores, NEG_INF)
 
 
-def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas):
+def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
+                  dedup=False):
     scales = ragged.get("scales")  # per-doc int8 scales (None for float stores)
     if use_pallas:
         b, k = cand.shape
+        nq = tokens.shape[1]
+        dim = tokens.shape[2]
+        if dedup and b > 1:
+            # Cross-query candidate dedup (VERDICT r2 #4): one DMA per
+            # unique doc across the whole batch. Two block-size guards: the
+            # full query chunk must fit VMEM (<= 4 MB) and the 4 packed
+            # scalar-prefetch arrays must fit SMEM (<= ~56k candidate
+            # entries; 16 B/entry of the 1 MB scalar space). Oversized
+            # batches dedup in query-chunks — intra-chunk sharing is still
+            # captured.
+            itemsize = (1 if ragged["flat"].dtype == jnp.int8
+                        else ragged["flat"].dtype.itemsize)
+            per_q_bytes = nq * dim * itemsize
+            limit_b = b
+            while limit_b > 1 and (limit_b * per_q_bytes > 4 * 1024 * 1024
+                                   or limit_b * k > 56 * 1024):
+                limit_b //= 2
+            if limit_b >= 2:
+                if limit_b < b:
+                    while b % limit_b:
+                        limit_b -= 1
+                    out = jax.lax.map(
+                        lambda args: rerank_candidates_dedup(
+                            ragged["flat"], ragged["offsets"],
+                            ragged["lengths"], args[0], args[1], args[2],
+                            max_len, doc_scales=scales),
+                        (tokens.reshape(b // limit_b, limit_b, nq, dim),
+                         qmask.reshape(b // limit_b, limit_b, nq),
+                         cand.reshape(b // limit_b, limit_b, k)))
+                    return out.reshape(b, k)
+                return rerank_candidates_dedup(
+                    ragged["flat"], ragged["offsets"], ragged["lengths"],
+                    tokens, qmask, cand, max_len, doc_scales=scales)
         # The kernel's candidate offsets/lengths/scales ride in SMEM (~1 MB):
         # B*K beyond ~64k entries OOMs the scalar space (bs=512 x pk=200
         # measured 1.17 of 1.00 MB), so large query batches rerank in
@@ -338,7 +375,6 @@ def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas):
             bc = max(1, limit // k)
             while b % bc:
                 bc -= 1
-            nq = tokens.shape[1]
             out = jax.lax.map(
                 lambda args: rerank_candidates(
                     ragged["flat"], ragged["offsets"], ragged["lengths"],
@@ -409,6 +445,7 @@ class ShardedEngine(EngineCommon):
         experimental_vector_name: str = "experimental_pooling",
         use_pallas: Optional[bool] = None,
         stage1_cut: str = "auto",
+        rerank_dedup: str = "auto",
     ):
         self.sindex = sindex
         self.full_vector_name = full_vector_name
@@ -421,6 +458,9 @@ class ShardedEngine(EngineCommon):
         if stage1_cut not in ("auto", "exact", "approx"):
             raise ValueError(f"stage1_cut must be auto|exact|approx, got {stage1_cut}")
         self.stage1_cut = stage1_cut
+        if rerank_dedup not in ("off", "on", "auto"):
+            raise ValueError(f"rerank_dedup must be off|on|auto, got {rerank_dedup}")
+        self.rerank_dedup = rerank_dedup
         self._plans: Dict[Any, Any] = {}
 
     def _cut_corpus_size(self) -> int:
@@ -518,7 +558,7 @@ class ShardedEngine(EngineCommon):
         )
         return jax.jit(fn)
 
-    def _plan_two_stage(self, kind: str, pk: int, k: int):
+    def _plan_two_stage(self, kind: str, pk: int, k: int, dedup: bool = False):
         mesh, axis, ds, max_len, use_pallas = self._specs()
         pk_local = min(pk, ds)
         approx = self._approx_cut(pk_local)
@@ -541,7 +581,8 @@ class ShardedEngine(EngineCommon):
             local = merged - base
             in_range = (local >= 0) & (local < ds) & (merged >= 0)
             cand = jnp.where(in_range, local, -1).astype(jnp.int32)
-            rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas)
+            rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
+                               dedup=dedup)
             full = jax.lax.pmax(rr, axis)  # each candidate valid on one shard
             vals, pos = jax.lax.top_k(full, k)
             ids = jnp.take_along_axis(merged, pos, axis=1)
@@ -555,7 +596,8 @@ class ShardedEngine(EngineCommon):
         )
         return jax.jit(fn)
 
-    def _plan_three_stage(self, s1k: int, s2k: int, k: int):
+    def _plan_three_stage(self, s1k: int, s2k: int, k: int,
+                          dedup: bool = False):
         mesh, axis, ds, max_len, use_pallas = self._specs()
         s1k_local = min(s1k, ds)
         approx = self._approx_cut(s1k_local)
@@ -594,7 +636,8 @@ class ShardedEngine(EngineCommon):
             loc2 = m2_ids - base
             ok2 = (loc2 >= 0) & (loc2 < ds) & (m2_ids >= 0)
             cand = jnp.where(ok2, loc2, -1).astype(jnp.int32)
-            rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas)
+            rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
+                               dedup=dedup)
             full = jax.lax.pmax(rr, axis)
             vals, pos = jax.lax.top_k(full, kk)
             ids = jnp.take_along_axis(m2_ids, pos, axis=1)
@@ -694,9 +737,12 @@ class ShardedEngine(EngineCommon):
             kind, name = self._stage1_kind(stage1_mode)
             pk = max(1, min(int(prefetch_k), d))
             k = max(1, min(int(top_k), pk))
+            dd = (self.use_pallas
+                  and self._dedup_flag(len(query_embeddings)))
             plan = self._get_plan(
-                ("two_stage", kind, name, pk, k, tokens.shape, self.stage1_cut),
-                lambda: self._plan_two_stage(kind, pk, k))
+                ("two_stage", kind, name, pk, k, tokens.shape,
+                 self.stage1_cut, dd),
+                lambda: self._plan_two_stage(kind, pk, k, dedup=dd))
             vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
             return ("done", len(query_embeddings), with_payload,
                     {"ids": ids, "score_stage2": vals, "score_final": vals})
@@ -704,9 +750,11 @@ class ShardedEngine(EngineCommon):
         s1k = max(1, min(int(stage1_k or 1000), d))
         s2k = max(1, min(int(stage2_k or 300), d))
         k = max(1, min(int(top_k), s2k))
+        dd3 = (self.use_pallas
+               and self._dedup_flag(len(query_embeddings)))
         plan = self._get_plan(
-            ("three_stage", s1k, s2k, k, tokens.shape, self.stage1_cut),
-            lambda: self._plan_three_stage(s1k, s2k, k))
+            ("three_stage", s1k, s2k, k, tokens.shape, self.stage1_cut, dd3),
+            lambda: self._plan_three_stage(s1k, s2k, k, dedup=dd3))
         vals, ids, s1_at, s2_at = plan(
             si.stores[self.global_vector_name],
             si.stores[self.experimental_vector_name],

