@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--server", choices=["async", "threaded"], default="async",
                    help="asyncio event-loop front end (default) or the "
                         "thread-per-connection stdlib server")
+    v.add_argument("--workers", type=int, default=0,
+                   help="N>0: N SO_REUSEPORT front-end worker processes "
+                        "feeding one engine backend over a unix socket — "
+                        "scales HTTP parsing past one GIL on multi-core "
+                        "hosts (the engine stays in this process)")
     return parser
 
 
@@ -242,7 +247,11 @@ def cmd_search(args) -> int:
 
 def cmd_serve(args) -> int:
     from visual_rag_tpu.retrieval import RetrievalEngine
-    from visual_rag_tpu.serving import AsyncSearchServer, SearchServer
+    from visual_rag_tpu.serving import (
+        AsyncSearchServer,
+        MultiWorkerServer,
+        SearchServer,
+    )
 
     builder = _load_builder(args)
     engine = RetrievalEngine(builder.seal(),
@@ -252,10 +261,16 @@ def cmd_serve(args) -> int:
         from visual_rag_tpu.models.embedder import VisualEmbedder
 
         embedder = VisualEmbedder(args.model)
-    cls = AsyncSearchServer if args.server == "async" else SearchServer
-    server = cls(engine, embedder=embedder, host=args.host,
-                 port=args.port, max_batch=args.max_batch,
-                 max_wait_ms=args.max_wait_ms).start()
+    if args.workers > 0:
+        server = MultiWorkerServer(
+            engine, embedder=embedder, host=args.host, port=args.port,
+            workers=args.workers, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms).start()
+    else:
+        cls = AsyncSearchServer if args.server == "async" else SearchServer
+        server = cls(engine, embedder=embedder, host=args.host,
+                     port=args.port, max_batch=args.max_batch,
+                     max_wait_ms=args.max_wait_ms).start()
     print(f"serving http://{server.host}:{server.port} "
           f"(POST /search, GET /healthz, GET /stats); Ctrl-C to stop")
     try:
