@@ -73,6 +73,7 @@ def index_beir_corpus(
     max_corpus_docs: Optional[int] = None,
     embed_batch_size: int = 8,
     embed_retries: int = 3,
+    pooling_windows: Sequence[int] = (3,),
 ) -> Dict[str, Any]:
     """Index one dataset's corpus into the builder under union IDs.
 
@@ -82,7 +83,10 @@ def index_beir_corpus(
     before being logged as failed, so one poisoned doc never takes down its
     batch (reference run_qdrant_beir.py:858-899, 719-767; VERDICT r1 item 5).
     """
-    plan = experimental_vector_plan(getattr(embedder, "backend", "colpali"))
+    # plan must match the collection schema (make_schema_for_embedder with
+    # the same pooling_windows), or uploads fail on missing named vectors
+    plan = experimental_vector_plan(getattr(embedder, "backend", "colpali"),
+                                    pooling_windows=pooling_windows)
     failed_before = {r["source_doc_id"] for r in read_jsonl(failure_log)} if failure_log else set()
     docs = dataset.corpus[:max_corpus_docs] if max_corpus_docs else dataset.corpus
     if only_failures:
@@ -385,6 +389,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--evaluation-scope", choices=("union", "per_dataset"), default="union")
     parser.add_argument("--storage-dtype", default="bfloat16")
     parser.add_argument("--max-mean-pool-vectors", type=int, default=32)
+    parser.add_argument("--pooling-windows", type=int, nargs="+", default=[3],
+                        help="ColPali experimental_pooling_{k} window sizes "
+                             "(reference --pooling-windows)")
     parser.add_argument("--crop", action="store_true")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--stage1-cut", choices=["auto", "exact", "approx"],
@@ -418,7 +425,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.resume and (index_dir / "schema.json").exists():
         builder = IndexBuilder.load(index_dir)
     else:
-        builder = IndexBuilder(make_schema_for_embedder(embedder, args.storage_dtype))
+        builder = IndexBuilder(make_schema_for_embedder(
+            embedder, args.storage_dtype,
+            pooling_windows=tuple(args.pooling_windows)))
 
     datasets = [load_vidore_dataset_auto(name) for name in args.datasets]
 
@@ -431,7 +440,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 failure_log=out_dir / f"index_failures__{ds.name}.jsonl",
                 retry_failures=args.retry_failures,
                 only_failures=args.only_failures,
-                max_corpus_docs=args.max_corpus_docs)
+                max_corpus_docs=args.max_corpus_docs,
+                pooling_windows=tuple(args.pooling_windows))
             logger.info("Indexed %s: %s", ds.name, stats)
         builder.save(index_dir)
 

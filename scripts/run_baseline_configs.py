@@ -1,0 +1,249 @@
+"""Evidence pack for BASELINE.md's five target configs (VERDICT r2 #8).
+
+Runs the BEIR-protocol harness (benchmarks/run_tpu_beir.py: same union ids,
+qrels remap/prune, metric cutoffs, latency accounting as the reference
+run_qdrant_beir.py:290-442) over synthetic planted-relevance datasets for
+each config, and checks the report JSONs + a summary table into
+results/baseline_configs/.
+
+Real ViDoRe v2 downloads are impossible in this air-gapped environment
+(BASELINE.md); planted relevance gives a known-answer oracle instead: each
+query's relevant page embeds the query's tokens, so a correct engine must
+reach nDCG@5 = 1.0 under every config's schema/plan. Latency/QPS columns are
+environment-dependent (CPU by default; set VISUALRAG_PLATFORM accordingly).
+
+Run from the repo root:
+    VISUALRAG_PLATFORM=cpu python scripts/run_baseline_configs.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+if os.environ.get("VISUALRAG_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["VISUALRAG_PLATFORM"])
+    if os.environ["VISUALRAG_PLATFORM"] == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            "--xla_force_host_platform_device_count=8")
+        # stale CPU AOT cache entries spray machine-feature warnings
+        os.environ.setdefault("VISUALRAG_DISABLE_COMPILE_CACHE", "1")
+
+import numpy as np  # noqa: E402
+
+OUT = Path(__file__).resolve().parents[1] / "results" / "baseline_configs"
+
+
+def planted_dataset(name, embedder, n_queries=6, n_noise=30, seed=0):
+    """Planted-relevance BEIR dataset: rel doc i embeds query i's tokens."""
+    from benchmarks.dataset_loader import load_beir_from_rows
+
+    rng = np.random.default_rng(seed)
+    queries = [f"{name} topic {i} details" for i in range(n_queries)]
+    q_embs = embedder.embed_queries(queries)
+    dim = q_embs[0].shape[1]
+    corpus_rows = []
+    for i, qe in enumerate(q_embs):
+        emb = np.concatenate([
+            np.repeat(qe, 12, axis=0),
+            0.05 * rng.standard_normal((52, dim)).astype(np.float32)])
+        corpus_rows.append({"corpus-id": f"rel{i}", "embedding": emb})
+    for j in range(n_noise):
+        corpus_rows.append({
+            "corpus-id": f"noise{j}",
+            "embedding": rng.standard_normal((64, dim)).astype(np.float32)})
+    return load_beir_from_rows(
+        name, corpus_rows,
+        [{"query-id": f"q{i}", "query": t} for i, t in enumerate(queries)],
+        [{"query-id": f"q{i}", "corpus-id": f"rel{i}", "score": 1}
+         for i in range(n_queries)])
+
+
+def build(embedder, ds, storage_dtype, collection, pooling_windows=(3,)):
+    from benchmarks.run_tpu_beir import index_beir_corpus, make_schema_for_embedder
+    from visual_rag_tpu.index import IndexBuilder
+
+    builder = IndexBuilder(make_schema_for_embedder(
+        embedder, storage_dtype, pooling_windows=pooling_windows))
+    stats = index_beir_corpus(ds, embedder, builder, collection,
+                              pooling_windows=pooling_windows)
+    assert stats["failed"] == 0, stats
+    return builder
+
+
+def run_config(n, desc, reports):
+    OUT.mkdir(parents=True, exist_ok=True)
+    payload = {"config": n, "description": desc,
+               "platform": os.environ.get("VISUALRAG_PLATFORM") or "default",
+               "generated_unix": time.time(), "reports": reports}
+    path = OUT / f"config{n}.json"
+    path.write_text(json.dumps(payload, indent=2, default=str))
+    print(f"config {n}: {desc}")
+    for r in reports:
+        m = r.get("metrics", {})
+        print(f"  {r.get('label', r.get('dataset')):42s} "
+              f"ndcg@5={m.get('ndcg@5', float('nan')):.4f} "
+              f"recall@10={m.get('recall@10', float('nan')):.4f} "
+              f"qps={r.get('qps', 0):.1f}")
+    return payload
+
+
+def main():
+    from benchmarks.run_tpu_beir import evaluate
+    from visual_rag_tpu.models.colvlm import ColVLMConfig
+    from visual_rag_tpu.models.embedder import VisualEmbedder
+    from visual_rag_tpu.retrieval import RetrievalEngine
+
+    tiny = ColVLMConfig.tiny()
+    summaries = []
+
+    def ev(ds, embedder, engine, coll, label, **kw):
+        rep = evaluate(ds, embedder, engine, coll, **kw)
+        rep["label"] = label
+        rep["search_kwargs"] = {k: str(v) for k, v in kw.items()}
+        return rep
+
+    # -- config 1: ColSmol two-stage (tokens_vs_experimental_pooling), fp16 --
+    emb = VisualEmbedder("vidore/colSmol-500M", config=tiny, batch_size=4)
+    ds = planted_dataset("cfg1_colsmol", emb, seed=1)
+    b = build(emb, ds, "float16", "cfg1")
+    eng = RetrievalEngine(b.seal(), compute_dtype="float32")
+    summaries.append(run_config(1, "ColSmol two-stage fp16 "
+                                   "(tokens_vs_experimental_pooling prefetch "
+                                   "+ exact MaxSim rerank)", [
+        ev(ds, emb, eng, "cfg1", "two_stage/tokens_vs_experimental",
+           mode="two_stage", stage1_mode="tokens_vs_experimental_pooling",
+           prefetch_k=20, top_k=10),
+    ]))
+
+    # -- config 2: single-stage ablations ------------------------------------
+    ds2 = planted_dataset("cfg2_ablations", emb, seed=2)
+    b2 = build(emb, ds2, "float16", "cfg2")
+    eng2 = RetrievalEngine(b2.seal(), compute_dtype="float32")
+    summaries.append(run_config(2, "Single-stage ablations over pooled "
+                                   "vectors (pooled_query_vs_global, "
+                                   "tokens vs pooled docs)", [
+        ev(ds2, emb, eng2, "cfg2", "single_global", mode="single_global",
+           top_k=10),
+        ev(ds2, emb, eng2, "cfg2", "single_tiles(tokens_vs_doc)",
+           mode="single_tiles", top_k=10),
+        ev(ds2, emb, eng2, "cfg2", "single_pooled", mode="single_pooled",
+           top_k=10),
+        ev(ds2, emb, eng2, "cfg2", "single_full(oracle)", mode="single_full",
+           top_k=10),
+    ]))
+
+    # -- config 3: ColPali windows + three-stage -----------------------------
+    import dataclasses
+
+    pali_tiny = dataclasses.replace(
+        tiny,
+        vision=dataclasses.replace(tiny.vision, max_patches=1024),
+        text=dataclasses.replace(tiny.text, mlp_act="gelu_tanh",
+                                 rms_offset=True, embed_scale=True,
+                                 causal=False),
+        proj_bias=True, connector_bias=True, hf_layout="paligemma")
+    emb3 = VisualEmbedder("vidore/colpali-v1.3", config=pali_tiny, batch_size=4)
+    ds3 = planted_dataset("cfg3_colpali", emb3, seed=3)
+    b3 = build(emb3, ds3, "float16", "cfg3", pooling_windows=(3, 5))
+    eng3 = RetrievalEngine(b3.seal(), compute_dtype="float32")
+    summaries.append(run_config(3, "ColPali-v1.3 experimental_pooling_{3,5} "
+                                   "windows + three-stage cascade", [
+        ev(ds3, emb3, eng3, "cfg3", "two_stage/exp_pooling_windows",
+           mode="two_stage", stage1_mode="tokens_vs_experimental_pooling",
+           prefetch_k=20, top_k=10),
+        ev(ds3, emb3, eng3, "cfg3", "three_stage(1000/300)",
+           mode="three_stage", stage1_k=1000, stage2_k=300, top_k=10),
+    ]))
+
+    # -- config 4: ColQwen2.5 adaptive cap + kernels, int8 -------------------
+    qwen_tiny = dataclasses.replace(
+        tiny, spatial_merge=2,
+        vision=dataclasses.replace(tiny.vision, window_side=8,
+                                   full_attn_layers=(1,), rope_2d=True,
+                                   learned_pos=False, post_ln=False,
+                                   rms_norm=True, mlp_gated=True,
+                                   patch_bias=False),
+        text=dataclasses.replace(tiny.text, attn_qkv_bias=True),
+        hf_layout="qwen2.5")
+    emb4 = VisualEmbedder("vidore/colqwen2.5-v0.2", config=qwen_tiny,
+                          batch_size=4)
+    ds4 = planted_dataset("cfg4_colqwen", emb4, seed=4)
+    b4 = build(emb4, ds4, "int8", "cfg4")
+    eng4 = RetrievalEngine(b4.seal(), compute_dtype="float32")
+    summaries.append(run_config(4, "ColQwen2.5 adaptive mean-pool cap + "
+                                   "gaussian/triangular kernels, int8 "
+                                   "token storage", [
+        ev(ds4, emb4, eng4, "cfg4", "two_stage/gaussian(int8)",
+           mode="two_stage", stage1_mode="tokens_vs_experimental_pooling",
+           prefetch_k=20, top_k=10),
+        ev(ds4, emb4, eng4, "cfg4", "two_stage/pooled_query(int8)",
+           mode="two_stage", stage1_mode="pooled_query_vs_standard_pooling",
+           prefetch_k=20, top_k=10),
+    ]))
+
+    # -- config 5: full suite, corpus sharded over the mesh ------------------
+    import jax
+
+    from visual_rag_tpu.parallel import ShardedEngine, ShardedIndex, make_mesh
+
+    n_dev = jax.device_count()
+    mesh = make_mesh((n_dev,), ("data",))
+    reports5 = []
+    for dname in ("esg_like", "biomed_like", "econ_like"):
+        ds5 = planted_dataset(f"cfg5_{dname}", emb, seed=hash(dname) % 1000)
+        b5 = build(emb, ds5, "float16", f"cfg5_{dname}")
+        seng = ShardedEngine(ShardedIndex.from_index(b5.seal(), mesh),
+                             use_pallas=jax.default_backend() == "tpu")
+        reports5.append(ev(
+            ds5, emb, seng, f"cfg5_{dname}", f"sharded[{n_dev}]/{dname}",
+            mode="two_stage", stage1_mode="tokens_vs_experimental_pooling",
+            prefetch_k=20, top_k=10))
+    summaries.append(run_config(
+        5, f"Suite sharded over a {n_dev}-device mesh with distributed "
+           f"top-k merge (union-id protocol)", reports5))
+
+    # -- summary table -------------------------------------------------------
+    lines = [
+        "# BASELINE configs 1-5: synthetic-protocol evidence",
+        "",
+        "Generated by scripts/run_baseline_configs.py (BEIR protocol from",
+        "benchmarks/run_tpu_beir.py; planted-relevance oracle datasets — see",
+        "the script docstring for why real ViDoRe data can't be used here).",
+        f"Platform: {os.environ.get('VISUALRAG_PLATFORM') or 'default'}; "
+        f"devices: {len(__import__('jax').devices())}.",
+        "",
+        "| Config | Run | nDCG@5 | Recall@10 | MRR@10 | QPS |",
+        "|---|---|---|---|---|---|",
+    ]
+    ok = True
+    for s in summaries:
+        for r in s["reports"]:
+            m = r.get("metrics", {})
+            lines.append(
+                f"| {s['config']}: {s['description'][:46]} | {r['label']} "
+                f"| {m.get('ndcg@5', 0):.4f} | {m.get('recall@10', 0):.4f} "
+                f"| {m.get('mrr@10', 0):.4f} | {r.get('qps', 0):.1f} |")
+            if m.get("ndcg@5", 0) < 0.999 and "global" not in r["label"] \
+                    and "pooled" not in r["label"]:
+                ok = False
+    lines += ["",
+              "Planted-relevance target: nDCG@5 = 1.0 for every token-level "
+              "run (pooled/global single-stage ablations may rank below 1.0 "
+              "by design — that is the ablation).", ""]
+    (OUT / "SUMMARY.md").write_text("\n".join(lines))
+    print(f"\nwrote {OUT}/config{{1..5}}.json + SUMMARY.md; "
+          f"token-level runs all perfect: {ok}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
