@@ -6,7 +6,8 @@ Protocol: a ViDoRe-v2-scale synthetic corpus (3000 ColSmol-shaped pages,
 320-832 tokens/doc, pooled named vectors, bf16 storage) and 512 queries of
 8-24 tokens, searched with the reference's default serving operating point —
 two_stage, prefetch_k=200, top_k=10 (reference two_stage.py:128-129) — in
-pipelined batches of 256 (the round-1-proven bucket).
+pipelined batches of 256 (the round-1-proven bucket), then opportunistically
+batches of 512 when the budget clearly allows (best value wins).
 
 Robustness (round-2 postmortem — BENCH_r02.json rc=124):
   * corpus is generated directly in HBM (index/synth.py), not streamed
@@ -117,6 +118,25 @@ def main():
         with _lock:
             _state["best_qps"] = max(
                 _state["best_qps"], repeats * len(queries) / dt)
+
+    # Opportunistic larger bucket: bs=512 measured ~30% higher QPS in the r2
+    # sweep but its fresh plan compile is what blew the r2 driver budget.
+    # Only attempt it with ample budget left; the 256 result above is the
+    # guaranteed floor either way (watchdog emits best-so-far regardless).
+    if time.time() - T0 < 0.45 * BUDGET_S:
+        big = [queries]  # one 512-query batch
+        for _ in engine.search_embedded_batches(big * 2, **kw):  # warm
+            pass
+        for _ in range(2):
+            if time.time() - T0 > 0.8 * BUDGET_S:
+                break
+            t0 = time.time()
+            for _res in engine.search_embedded_batches(big * 8, **kw):
+                pass
+            dt = time.time() - t0
+            with _lock:
+                _state["best_qps"] = max(
+                    _state["best_qps"], 8 * len(queries) / dt)
     _emit()
 
 
