@@ -218,3 +218,88 @@ class TestDedupRerankKernel:
             queries, qmask, candidates, store.max_len,
             group=4, interpret=True))
         np.testing.assert_allclose(dedup, plain, rtol=1e-4, atol=1e-4)
+
+
+class TestSweepRerankKernel:
+    """Range-sweep rerank (maxsim_sweep.py): one DMA per candidate-bearing
+    row-range + P queries M-packed per matmul; scores must match the
+    per-candidate kernel on every layout (multi-range, multi-block ranges,
+    single-range small stores, int8 scales, unaligned NQ)."""
+
+    def _plain(self, store, queries, qmask, candidates, **kw):
+        from visual_rag_tpu.ops.kernels.maxsim_rerank import rerank_candidates
+        return np.asarray(rerank_candidates(
+            store.flat, store.offsets, store.lengths,
+            queries, qmask, candidates, store.max_len,
+            group=4, interpret=True, **kw))
+
+    def _sweep(self, store, queries, qmask, candidates, r_step, **kw):
+        from visual_rag_tpu.ops.kernels.maxsim_sweep import (
+            rerank_candidates_sweep,
+        )
+        return np.asarray(rerank_candidates_sweep(
+            store.flat, store.offsets, store.lengths,
+            queries, qmask, candidates, store.max_len,
+            r_step=r_step, interpret=True, **kw))
+
+    @pytest.mark.parametrize("r_step", [64, 128, 4096])
+    def test_matches_plain_kernel(self, small_index, rng, r_step):
+        store = small_index.store("initial")
+        b, k, nq = 5, 12, 16
+        queries = _norm(rng.standard_normal((b, nq, DIM)).astype(np.float32))
+        qmask = np.ones((b, nq), dtype=bool)
+        qmask[1, 9:] = False
+        candidates = rng.integers(0, small_index.num_docs, (b, k)).astype(np.int32)
+        candidates[0, -1] = -1
+        candidates[3, 0] = -1
+        plain = self._plain(store, queries, qmask, candidates)
+        sweep = self._sweep(store, queries, qmask, candidates, r_step)
+        np.testing.assert_allclose(sweep, plain, rtol=1e-4, atol=1e-4)
+
+    def test_multi_block_ranges_heavy_sharing(self, small_index, rng):
+        # every query hits the same few docs -> ranges hold many pairs ->
+        # several g_total-sized blocks share one window DMA (the bug class
+        # where non-first blocks must still decode the range's buffer slot)
+        store = small_index.store("initial")
+        b, k, nq = 16, 10, 8
+        queries = _norm(rng.standard_normal((b, nq, DIM)).astype(np.float32))
+        qmask = np.ones((b, nq), dtype=bool)
+        candidates = rng.integers(0, 5, (b, k)).astype(np.int32)
+        plain = self._plain(store, queries, qmask, candidates)
+        sweep = self._sweep(store, queries, qmask, candidates, 64, mgroups=1)
+        np.testing.assert_allclose(sweep, plain, rtol=1e-4, atol=1e-4)
+
+    def test_unaligned_nq_falls_back_to_p1(self, small_index, rng):
+        store = small_index.store("initial")
+        b, k, nq = 3, 7, 20  # nq % 8 != 0 -> no M-packing
+        queries = _norm(rng.standard_normal((b, nq, DIM)).astype(np.float32))
+        qmask = np.ones((b, nq), dtype=bool)
+        candidates = rng.integers(0, small_index.num_docs, (b, k)).astype(np.int32)
+        plain = self._plain(store, queries, qmask, candidates)
+        sweep = self._sweep(store, queries, qmask, candidates, 96)
+        np.testing.assert_allclose(sweep, plain, rtol=1e-4, atol=1e-4)
+
+    def test_int8_per_doc_scales(self, rng):
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+
+        schema = CollectionSchema.standard(storage_dtype="int8", dim=DIM)
+        builder = IndexBuilder(schema)
+        for i in range(17):
+            n = int(rng.integers(2, 30))
+            builder.add(f"d{i}", {
+                "initial": rng.standard_normal((n, DIM)).astype(np.float32),
+                "mean_pooling": rng.standard_normal((3, DIM)).astype(np.float32),
+                "experimental_pooling": rng.standard_normal((5, DIM)).astype(np.float32),
+                "global_pooling": rng.standard_normal((DIM,)).astype(np.float32),
+            })
+        idx = builder.seal()
+        store = idx.store("initial")
+        b, k, nq = 4, 9, 16
+        queries = _norm(rng.standard_normal((b, nq, DIM)).astype(np.float32))
+        qmask = np.ones((b, nq), dtype=bool)
+        candidates = rng.integers(0, idx.num_docs, (b, k)).astype(np.int32)
+        plain = self._plain(store, queries, qmask, candidates,
+                            doc_scales=store.scales)
+        sweep = self._sweep(store, queries, qmask, candidates, 96,
+                            doc_scales=store.scales)
+        np.testing.assert_allclose(sweep, plain, rtol=1e-4, atol=1e-4)
