@@ -105,31 +105,35 @@ def _make_kernel(r_rows: int, nq: int, p: int, mgroups: int, n_bufs: int):
         def _():
             win = scratch[slot]  # [r_rows, dim]
             col = jax.lax.broadcasted_iota(jnp.int32, (nq, r_rows), 1)
+            # ONE dot for the whole block: all g_total pairs' query blocks
+            # stack into M = mgroups*P*NQ rows. Issuing mgroups separate
+            # matmuls serialized MXU->VPU->MXU on the reused sims buffer
+            # (measured 12% MXU at the 3k-doc shape); a single deep dot
+            # keeps the systolic array streaming.
+            qs = []
+            metas = []
+            for j in range(g_total):
+                sp = slotpack_ref[base + j]
+                metas.append(sp)
+                qs.append(q_ref[sp // (_LEN_MOD * _LOFF_MOD)])
+            qcat = qs[0] if g_total == 1 else jnp.concatenate(qs, axis=0)
+            sims = jax.lax.dot_general(
+                qcat, win.astype(qcat.dtype),  # int8 upcast in VMEM only
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G*NQ, r_rows]
             cols = []
-            for m in range(mgroups):  # static unroll
-                qs = []
-                metas = []
-                for g in range(p):
-                    sp = slotpack_ref[base + m * p + g]
-                    metas.append(sp)
-                    qs.append(q_ref[sp // (_LEN_MOD * _LOFF_MOD)])
-                qcat = qs[0] if p == 1 else jnp.concatenate(qs, axis=0)
-                sims = jax.lax.dot_general(
-                    qcat, win.astype(qcat.dtype),  # int8 upcast in VMEM only
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [P*NQ, r_rows]
-                for g in range(p):
-                    sp = metas[g]
-                    ln = sp % _LEN_MOD
-                    lo = ((sp // _LEN_MOD) % _LOFF_MOD) * 32
-                    s = sims[g * nq:(g + 1) * nq]  # static row band
-                    inside = (col >= lo) & (col < lo + ln)
-                    per_q = jnp.max(jnp.where(inside, s, NEG_INF),
-                                    axis=1, keepdims=True)  # [NQ, 1]
-                    # all-vector accumulation (maxsim_rerank v3): columns
-                    # stay in vregs, one matmul sums per block
-                    cols.append(jnp.where(ln > 0, per_q, 0.0))
+            for j in range(g_total):
+                sp = metas[j]
+                ln = sp % _LEN_MOD
+                lo = ((sp // _LEN_MOD) % _LOFF_MOD) * 32
+                s = sims[j * nq:(j + 1) * nq]  # static row band
+                inside = (col >= lo) & (col < lo + ln)
+                per_q = jnp.max(jnp.where(inside, s, NEG_INF),
+                                axis=1, keepdims=True)  # [NQ, 1]
+                # all-vector accumulation (maxsim_rerank v3): columns
+                # stay in vregs, one matmul sums per block
+                cols.append(jnp.where(ln > 0, per_q, 0.0))
             ones = jnp.ones((1, nq), jnp.float32)
             scores = jax.lax.dot_general(
                 ones, jnp.concatenate(cols, axis=1),
