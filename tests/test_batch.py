@@ -146,3 +146,51 @@ class TestPipelinedBatches:
             with_payload=False))
         assert [len(x) for x in out] == [1, 0, 3]
         assert all(len(r) == 2 for x in out for r in x)
+
+
+class TestRerankImplPolicy:
+    """Static kernel-selection policy (EngineCommon._rerank_impl)."""
+
+    def test_forced_impl_is_honored(self, setup):
+        engine, _ = setup
+        for impl in ("plain", "dedup", "sweep"):
+            e2 = RetrievalEngine(engine.index, compute_dtype="float32",
+                                 rerank_impl=impl)
+            assert e2._rerank_impl(256, 200) == impl
+
+    def test_invalid_impl_rejected(self, setup):
+        engine, _ = setup
+        with pytest.raises(ValueError, match="rerank_impl"):
+            RetrievalEngine(engine.index, rerank_impl="bogus")
+
+    def test_auto_policy_tiers(self, setup):
+        engine, _ = setup
+        # tiny batches skip the sort/scatter overhead entirely
+        assert engine._rerank_impl(1, 200) == "plain"
+        assert engine._rerank_impl(32, 200) == "dedup" or \
+            engine._rerank_impl(32, 200) == "plain"
+        # dense coverage on this small corpus -> sweep (cov >> threshold)
+        rows, max_len, _, _, _ = engine._ragged_geom()
+        span = ((max_len + 31) // 32) * 32
+        b, k = 256, 200
+        cov = b * k * span / rows
+        expected = "sweep" if cov >= engine.SWEEP_MIN_COV else "dedup"
+        assert engine._rerank_impl(b, k) == expected
+
+    def test_forced_impls_agree_end_to_end(self, setup):
+        # the three kernels are interchangeable: identical ids through the
+        # fused batch path (CPU runs the XLA fallback for the rerank itself,
+        # but the policy string must thread through plan compilation without
+        # breaking shapes or caching)
+        engine, queries = setup
+        base = None
+        for impl in ("plain", "dedup", "sweep"):
+            e2 = RetrievalEngine(engine.index, compute_dtype="float32",
+                                 rerank_impl=impl)
+            out = e2.search_embedded_batch(queries, mode="two_stage", top_k=5,
+                                           with_payload=False)
+            ids = [[r["id"] for r in q] for q in out]
+            if base is None:
+                base = ids
+            else:
+                assert ids == base

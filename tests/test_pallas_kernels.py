@@ -269,6 +269,22 @@ class TestSweepRerankKernel:
         sweep = self._sweep(store, queries, qmask, candidates, 64, mgroups=1)
         np.testing.assert_allclose(sweep, plain, rtol=1e-4, atol=1e-4)
 
+    def test_mostly_invalid_grid(self, small_index, rng):
+        # sharded merges hand each shard a candidate grid where most entries
+        # are -1 (owned by other shards): dead pairs must neither corrupt
+        # scores nor consume slots
+        store = small_index.store("initial")
+        b, k, nq = 8, 16, 8
+        queries = _norm(rng.standard_normal((b, nq, DIM)).astype(np.float32))
+        qmask = np.ones((b, nq), dtype=bool)
+        candidates = np.full((b, k), -1, np.int32)
+        keep = rng.random((b, k)) < 0.15
+        candidates[keep] = rng.integers(
+            0, small_index.num_docs, int(keep.sum())).astype(np.int32)
+        plain = self._plain(store, queries, qmask, candidates)
+        sweep = self._sweep(store, queries, qmask, candidates, 64)
+        np.testing.assert_allclose(sweep, plain, rtol=1e-4, atol=1e-4)
+
     def test_unaligned_nq_falls_back_to_p1(self, small_index, rng):
         store = small_index.store("initial")
         b, k, nq = 3, 7, 20  # nq % 8 != 0 -> no M-packing

@@ -160,19 +160,31 @@ def sweep_params(rows: int, max_len: int, r_step: int = 2048):
     return r_step, r_rows, -(-rows // r_step)
 
 
-def sweep_supported(rows: int, max_len: int, b: int, nq: int, dim: int,
-                    dtype_itemsize: int, r_step: int = 2048) -> bool:
-    """Static feasibility: alignment, pack widths, VMEM, SMEM-friendly B."""
-    _, r_rows, _ = sweep_params(rows, max_len, r_step)
+def sweep_supported(rows: int, max_len: int, b: int, k: int, nq: int,
+                    dim: int, dtype_itemsize: int, r_step: int = 2048,
+                    mgroups: int = 2, n_bufs: int = 3) -> bool:
+    """Static feasibility: alignment, pack widths, VMEM and SMEM budgets."""
+    _, r_rows, n_ranges = sweep_params(rows, max_len, r_step)
     if rows % 32 or r_rows % 32:
         return False
     if r_rows > MAX_R_ROWS or b > MAX_B or max_len >= _LEN_MOD:
         return False
     # window buffers + f32 sims + query block must fit comfortably in VMEM
-    win = 3 * r_rows * dim * dtype_itemsize
+    win = n_bufs * r_rows * dim * dtype_itemsize
     sims = 128 * r_rows * 4
     qblk = b * nq * dim * 2
-    return win + sims + qblk <= 12 * 1024 * 1024
+    if win + sims + qblk > 12 * 1024 * 1024:
+        return False
+    # scalar-prefetch arrays ride in SMEM (1 MB total): slotpack has one
+    # int32 per slot and each block carries 3 metadata ints. At low coverage
+    # the per-range padding term (n_ranges * (g_total - 1)) dominates and
+    # blows the budget (measured OOM: 1.06 MB at 30k docs x 320-832 tokens)
+    p = max(1, min(128 // max(1, nq), 8)) if nq % 8 == 0 else 1
+    g_total = p * mgroups
+    n_slots = -(-(b * k + n_ranges * (g_total - 1)) // g_total) * g_total
+    n_blocks = n_slots // g_total
+    smem = (n_slots + 3 * n_blocks + max(1, n_bufs - 1)) * 4
+    return smem <= 900 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -222,19 +234,26 @@ def rerank_candidates_sweep(
     else:
         pscale = jnp.where(valid, doc_scales[safe], 1.0).astype(jnp.float32)
     qid = (jnp.arange(total, dtype=jnp.int32) // k)
-    rid = jnp.where(valid, off // r_step, 0).astype(jnp.int32)
+    # invalid (-1 / padded) and empty-doc pairs sort past every real range and
+    # never get a slot: sharded merges and filtered searches hand this kernel
+    # mostly-dead candidate grids, and dead pairs must not burn blocks (their
+    # scores are overwritten by the validity mask below)
+    rid = jnp.where(valid & (ln > 0), off // r_step, n_ranges).astype(jnp.int32)
 
     # sort pairs by (range, query): ranges become contiguous runs (one DMA
     # each); same-query pairs cluster inside a range so M-packed blocks
     # reload fewer distinct query blocks
     order = jnp.argsort(rid * jnp.int32(MAX_B) + qid, stable=True)
     srid = rid[order]
+    svalid = srid < n_ranges
+    sridc = jnp.minimum(srid, n_ranges - 1)  # safe lookup index
     sqid = qid[order]
     soff = off[order]
     sln = ln[order]
     sscale = pscale[order]
 
-    # dense per-range bookkeeping (n_ranges is static: rows // r_step)
+    # dense per-range bookkeeping (n_ranges is static: rows // r_step);
+    # out-of-range segment ids (invalid pairs) drop out of the counts
     onesv = jnp.ones((total,), jnp.int32)
     counts = jax.ops.segment_sum(onesv, srid, num_segments=n_ranges)
     padded = -(-counts // g_total) * g_total
@@ -244,16 +263,19 @@ def rerank_candidates_sweep(
     ccnt = jnp.cumsum(counts)
     start_idx = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                  ccnt[:-1]]).astype(jnp.int32)
-    dest = base_of[srid] + (jnp.arange(total, dtype=jnp.int32)
-                            - start_idx[srid])
+    n_slots_static = -(-(total + n_ranges * (g_total - 1)) // g_total) * g_total
+    dest = base_of[sridc] + (jnp.arange(total, dtype=jnp.int32)
+                             - start_idx[sridc])
+    # invalid pairs scatter to the drop slot and gather back garbage that the
+    # final validity mask overwrites
+    dest = jnp.where(svalid, dest, n_slots_static)
     used = cpad[-1]  # dynamic count of occupied slots
 
     range_start = jnp.minimum(
         jnp.arange(n_ranges, dtype=jnp.int32) * r_step,
         rows - r_rows).astype(jnp.int32)
-    sloff = soff - range_start[srid]  # in [0, r_rows - span]
+    sloff = soff - range_start[sridc]  # in [0, r_rows - span]
 
-    n_slots_static = -(-(total + n_ranges * (g_total - 1)) // g_total) * g_total
     n_blocks = n_slots_static // g_total
     slotpack = jnp.zeros((n_slots_static,), jnp.int32).at[dest].set(
         sqid * (_LEN_MOD * _LOFF_MOD) + (sloff // 32) * _LEN_MOD + sln,

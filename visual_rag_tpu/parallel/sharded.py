@@ -43,6 +43,10 @@ from visual_rag_tpu.ops.kernels.maxsim_rerank import (
     rerank_candidates,
     rerank_candidates_dedup,
 )
+from visual_rag_tpu.ops.kernels.maxsim_sweep import (
+    rerank_candidates_sweep,
+    sweep_supported,
+)
 from visual_rag_tpu.ops.kernels.prefetch_topk import (
     auto_block_d,
     pooled_maxsim_scores_qbatch,
@@ -328,14 +332,49 @@ def _gathered_tokens_padded(estore: Dict, tokens, qmask, cand):
     return jnp.where(cand >= 0, scores, NEG_INF)
 
 
+SWEEP_R_STEP = 512  # best measured range step (r512/mg2/n_bufs=2, r3 bench)
+SWEEP_MAX_B = 256  # kernel qid pack width (maxsim_sweep.MAX_B)
+
+
 def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
-                  dedup=False):
+                  impl="plain"):
+    """Stage-2 exact rerank dispatcher: impl = plain | dedup | sweep.
+
+    plain/dedup gather one candidate window per (unique) doc; sweep streams
+    coalesced row-ranges (maxsim_sweep.py) and wins when the candidate set
+    covers a decent fraction of the store (policy: EngineCommon._rerank_impl).
+    """
     scales = ragged.get("scales")  # per-doc int8 scales (None for float stores)
     if use_pallas:
         b, k = cand.shape
         nq = tokens.shape[1]
         dim = tokens.shape[2]
-        if dedup and b > 1:
+        if impl == "sweep":
+            itemsize = (1 if ragged["flat"].dtype == jnp.int8
+                        else ragged["flat"].dtype.itemsize)
+            rows = int(ragged["flat"].shape[0])
+            if sweep_supported(rows, max_len, min(b, SWEEP_MAX_B), k, nq, dim,
+                               itemsize, r_step=SWEEP_R_STEP, n_bufs=2):
+                if b > SWEEP_MAX_B:
+                    bc = SWEEP_MAX_B
+                    while b % bc:
+                        bc -= 1
+                    out = jax.lax.map(
+                        lambda args: rerank_candidates_sweep(
+                            ragged["flat"], ragged["offsets"],
+                            ragged["lengths"], args[0], args[1], args[2],
+                            max_len, doc_scales=scales, r_step=SWEEP_R_STEP,
+                            mgroups=2, n_bufs=2),
+                        (tokens.reshape(b // bc, bc, nq, dim),
+                         qmask.reshape(b // bc, bc, nq),
+                         cand.reshape(b // bc, bc, k)))
+                    return out.reshape(b, k)
+                return rerank_candidates_sweep(
+                    ragged["flat"], ragged["offsets"], ragged["lengths"],
+                    tokens, qmask, cand, max_len, doc_scales=scales,
+                    r_step=SWEEP_R_STEP, mgroups=2, n_bufs=2)
+            impl = "dedup"  # shape outside the sweep envelope
+        if impl == "dedup" and b > 1:
             # Cross-query candidate dedup (VERDICT r2 #4): one DMA per
             # unique doc across the whole batch. Two block-size guards: the
             # full query chunk must fit VMEM (<= 4 MB) and the 4 packed
@@ -445,7 +484,7 @@ class ShardedEngine(EngineCommon):
         experimental_vector_name: str = "experimental_pooling",
         use_pallas: Optional[bool] = None,
         stage1_cut: str = "auto",
-        rerank_dedup: str = "auto",
+        rerank_impl: str = "auto",
     ):
         self.sindex = sindex
         self.full_vector_name = full_vector_name
@@ -458,9 +497,10 @@ class ShardedEngine(EngineCommon):
         if stage1_cut not in ("auto", "exact", "approx"):
             raise ValueError(f"stage1_cut must be auto|exact|approx, got {stage1_cut}")
         self.stage1_cut = stage1_cut
-        if rerank_dedup not in ("off", "on", "auto"):
-            raise ValueError(f"rerank_dedup must be off|on|auto, got {rerank_dedup}")
-        self.rerank_dedup = rerank_dedup
+        if rerank_impl not in ("auto", "plain", "dedup", "sweep"):
+            raise ValueError(
+                f"rerank_impl must be auto|plain|dedup|sweep, got {rerank_impl}")
+        self.rerank_impl = rerank_impl
         self._plans: Dict[Any, Any] = {}
 
     def _cut_corpus_size(self) -> int:
@@ -470,6 +510,18 @@ class ShardedEngine(EngineCommon):
 
     def _store_dim(self) -> int:
         return int(list(next(iter(self.sindex.stores.values())).values())[0].shape[-1])
+
+    # auto never picks sweep on the sharded path: per-shard candidate grids
+    # are mostly-dead after the merge and the win is unmeasured there.
+    # Forcing rerank_impl="sweep" is honored (the kernel drops dead pairs).
+    SWEEP_MIN_COV = float("inf")
+
+    def _ragged_geom(self):
+        flat = self.sindex.stores[self.full_vector_name]["flat"]
+        itemsize = 1 if flat.dtype == jnp.int8 else flat.dtype.itemsize
+        # local (per-shard) leading dim: flat is [n_shards, rows_local, dim]
+        return (int(flat.shape[-2]), int(self.sindex.max_len), 32,
+                int(flat.shape[-1]), int(itemsize))
 
     # -- RetrievalEngine-parity surface --------------------------------------
 
@@ -558,7 +610,7 @@ class ShardedEngine(EngineCommon):
         )
         return jax.jit(fn)
 
-    def _plan_two_stage(self, kind: str, pk: int, k: int, dedup: bool = False):
+    def _plan_two_stage(self, kind: str, pk: int, k: int, impl: str = "plain"):
         mesh, axis, ds, max_len, use_pallas = self._specs()
         pk_local = min(pk, ds)
         approx = self._approx_cut(pk_local)
@@ -582,7 +634,7 @@ class ShardedEngine(EngineCommon):
             in_range = (local >= 0) & (local < ds) & (merged >= 0)
             cand = jnp.where(in_range, local, -1).astype(jnp.int32)
             rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
-                               dedup=dedup)
+                               impl=impl)
             full = jax.lax.pmax(rr, axis)  # each candidate valid on one shard
             vals, pos = jax.lax.top_k(full, k)
             ids = jnp.take_along_axis(merged, pos, axis=1)
@@ -597,7 +649,7 @@ class ShardedEngine(EngineCommon):
         return jax.jit(fn)
 
     def _plan_three_stage(self, s1k: int, s2k: int, k: int,
-                          dedup: bool = False):
+                          impl: str = "plain"):
         mesh, axis, ds, max_len, use_pallas = self._specs()
         s1k_local = min(s1k, ds)
         approx = self._approx_cut(s1k_local)
@@ -637,7 +689,7 @@ class ShardedEngine(EngineCommon):
             ok2 = (loc2 >= 0) & (loc2 < ds) & (m2_ids >= 0)
             cand = jnp.where(ok2, loc2, -1).astype(jnp.int32)
             rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
-                               dedup=dedup)
+                               impl=impl)
             full = jax.lax.pmax(rr, axis)
             vals, pos = jax.lax.top_k(full, kk)
             ids = jnp.take_along_axis(m2_ids, pos, axis=1)
@@ -737,12 +789,12 @@ class ShardedEngine(EngineCommon):
             kind, name = self._stage1_kind(stage1_mode)
             pk = max(1, min(int(prefetch_k), d))
             k = max(1, min(int(top_k), pk))
-            dd = (self.use_pallas
-                  and self._dedup_flag(len(query_embeddings)))
+            ri = (self._rerank_impl(len(query_embeddings), pk)
+                  if self.use_pallas else "plain")
             plan = self._get_plan(
                 ("two_stage", kind, name, pk, k, tokens.shape,
-                 self.stage1_cut, dd),
-                lambda: self._plan_two_stage(kind, pk, k, dedup=dd))
+                 self.stage1_cut, ri),
+                lambda: self._plan_two_stage(kind, pk, k, impl=ri))
             vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
             return ("done", len(query_embeddings), with_payload,
                     {"ids": ids, "score_stage2": vals, "score_final": vals})
@@ -750,11 +802,11 @@ class ShardedEngine(EngineCommon):
         s1k = max(1, min(int(stage1_k or 1000), d))
         s2k = max(1, min(int(stage2_k or 300), d))
         k = max(1, min(int(top_k), s2k))
-        dd3 = (self.use_pallas
-               and self._dedup_flag(len(query_embeddings)))
+        ri3 = (self._rerank_impl(len(query_embeddings), s2k)
+               if self.use_pallas else "plain")
         plan = self._get_plan(
-            ("three_stage", s1k, s2k, k, tokens.shape, self.stage1_cut, dd3),
-            lambda: self._plan_three_stage(s1k, s2k, k, dedup=dd3))
+            ("three_stage", s1k, s2k, k, tokens.shape, self.stage1_cut, ri3),
+            lambda: self._plan_three_stage(s1k, s2k, k, impl=ri3))
         vals, ids, s1_at, s2_at = plan(
             si.stores[self.global_vector_name],
             si.stores[self.experimental_vector_name],

@@ -87,20 +87,41 @@ class EngineCommon:
 
     APPROX_CUT_MIN_DOCS = 65536  # measured: approx loses at 30k, wins 6x at 100k
     stage1_cut: str = "auto"
-    rerank_dedup: str = "auto"  # off | on | auto (cross-query DMA dedup)
+    rerank_impl: str = "auto"  # auto | plain | dedup | sweep
     DEDUP_MIN_BATCH = 64
+    SWEEP_MIN_COV = 6.0  # measured: sweep wins at cov 6.3+, ties dedup at 4.8
 
-    def _dedup_flag(self, b: int) -> bool:
-        """Cross-query rerank candidate dedup (VERDICT r2 #4): one DMA per
-        unique doc across the batch. Measured r3 (50k-doc bf16, 256x200):
-        uniformly ~5% faster than the plain kernel at serving batch sizes
-        and bit-exact, so auto enables it for real batches; tiny batches
-        skip the sort/scatter overhead."""
-        if self.rerank_dedup == "on":
-            return b > 1
-        if self.rerank_dedup == "auto":
-            return b >= self.DEDUP_MIN_BATCH
-        return False
+    def _rerank_impl(self, b: int, k: int) -> str:
+        """Stage-2 rerank kernel selection (static per plan compile).
+
+        - ``plain``: one DMA + matmul per candidate (tiny batches: no
+          sort/scatter overhead).
+        - ``dedup``: cross-query candidate dedup (VERDICT r2 #4), one DMA per
+          unique doc — measured uniformly ~5% faster than plain at serving
+          batch sizes, bit-exact.
+        - ``sweep``: range-sweep kernel (maxsim_sweep.py) — streams coalesced
+          row-ranges and M-packs queries; wins when the candidate token mass
+          covers the store densely (small/mid corpora at serving batch
+          sizes: 43.6->38.6 ms at the 3k headline shape). Coverage =
+          b*k*ceil32(max_len)/rows, gated at SWEEP_MIN_COV.
+        """
+        if self.rerank_impl in ("plain", "dedup", "sweep"):
+            return self.rerank_impl
+        if b < self.DEDUP_MIN_BATCH:
+            return "plain"
+        rows, max_len, nq, dim, itemsize = self._ragged_geom()
+        from visual_rag_tpu.ops.kernels.maxsim_sweep import (
+            _ceil32, sweep_supported)
+        cov = b * k * _ceil32(max_len) / max(1, rows)
+        if cov >= self.SWEEP_MIN_COV and sweep_supported(
+                rows, max_len, min(b, 256), k, nq, dim, itemsize,
+                r_step=512, n_bufs=2):
+            return "sweep"
+        return "dedup"
+
+    def _ragged_geom(self):
+        """(rows, max_len, nq_hint, dim, itemsize) of the full token store."""
+        raise NotImplementedError
 
     def _cut_corpus_size(self) -> int:
         raise NotImplementedError
@@ -165,7 +186,7 @@ class RetrievalEngine(EngineCommon):
         compute_dtype: Optional[str] = None,
         rerank_chunk: int = 256,
         stage1_cut: str = "auto",
-        rerank_dedup: str = "auto",
+        rerank_impl: str = "auto",
     ):
         self.index = index
         self.full_vector_name = full_vector_name
@@ -179,9 +200,10 @@ class RetrievalEngine(EngineCommon):
         if stage1_cut not in ("auto", "exact", "approx"):
             raise ValueError(f"stage1_cut must be auto|exact|approx, got {stage1_cut}")
         self.stage1_cut = stage1_cut
-        if rerank_dedup not in ("off", "on", "auto"):
-            raise ValueError(f"rerank_dedup must be off|on|auto, got {rerank_dedup}")
-        self.rerank_dedup = rerank_dedup
+        if rerank_impl not in ("auto", "plain", "dedup", "sweep"):
+            raise ValueError(
+                f"rerank_impl must be auto|plain|dedup|sweep, got {rerank_impl}")
+        self.rerank_impl = rerank_impl
         self._batch_scorer = None
         self._mask_cache: Dict[Any, jnp.ndarray] = {}
         from visual_rag_tpu.utils.cache import enable_compilation_cache
@@ -287,6 +309,12 @@ class RetrievalEngine(EngineCommon):
 
     def _store_dim(self) -> int:
         return next(iter(self.index.stores.values())).dim
+
+    def _ragged_geom(self):
+        st = self.index.store(self.full_vector_name)
+        itemsize = 1 if st.flat.dtype == jnp.int8 else st.flat.dtype.itemsize
+        return (int(st.flat.shape[0]), int(st.max_len), 32, int(st.dim),
+                int(itemsize))
 
     def _topk_candidates(self, scores, k: int, doc_mask, approx: bool = False):
         k = max(1, min(int(k), self.index.num_docs))
@@ -473,7 +501,8 @@ class RetrievalEngine(EngineCommon):
                 self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
                 kind=kind, pk=pk, k=max(1, min(int(top_k), pk)),
                 approx=self._approx_cut(pk),
-                dedup=use_pallas and self._dedup_flag(b_bucket), **common)
+                impl=(self._rerank_impl(b_bucket, pk) if use_pallas
+                      else "plain"), **common)
             return ("done", n_real, with_payload,
                     {"idx": idx, "score_stage2": vals, "score_final": vals})
 
@@ -485,7 +514,8 @@ class RetrievalEngine(EngineCommon):
             ragged, doc_mask_f, tokens, qmask_f,
             s1k=s1k, s2k=s2k, k=max(1, min(int(top_k), s2k)),
             approx=self._approx_cut(min(s1k, s2k)),
-            dedup=use_pallas and self._dedup_flag(b_bucket), **common)
+            impl=(self._rerank_impl(b_bucket, s2k) if use_pallas
+                  else "plain"), **common)
         return ("done", n_real, with_payload,
                 {"idx": idx, "score_stage3": vals, "score_final": vals,
                  "score_stage1": s1_at, "score_stage2": s2_at})

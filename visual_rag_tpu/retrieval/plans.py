@@ -69,17 +69,17 @@ def single_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
 
 
 @partial(jax.jit, static_argnames=("kind", "pk", "k", "ds", "max_len",
-                                   "use_pallas", "approx", "dedup"))
+                                   "use_pallas", "approx", "impl"))
 def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
                    *, kind: str, pk: int, k: int, ds: int, max_len: int,
                    use_pallas: bool, approx: bool = False,
-                   dedup: bool = False):
+                   impl: str = "plain"):
     tokens, pooled = _prep_queries(tokens_raw, qmask)
     scores = _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
                            use_pallas)
     _, cand = _topk_masked(scores, pk, doc_mask, approx=approx)
     rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
-                       dedup=dedup)
+                       impl=impl)
     vals, pos = jax.lax.top_k(rr, k)
     idx = jnp.where(vals > NEG_INF / 2, jnp.take_along_axis(cand, pos, axis=1), -1)
     return vals, idx.astype(jnp.int32)
@@ -88,12 +88,12 @@ def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
 
 
 @partial(jax.jit, static_argnames=("s1k", "s2k", "k", "ds", "max_len",
-                                   "use_pallas", "approx", "dedup"))
+                                   "use_pallas", "approx", "impl"))
 def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
                      tokens_raw, qmask,
                      *, s1k: int, s2k: int, k: int, ds: int, max_len: int,
                      use_pallas: bool, approx: bool = False,
-                     dedup: bool = False):
+                     impl: str = "plain"):
     tokens, pooled = _prep_queries(tokens_raw, qmask)
     s1 = _local_stage1("pooled_single", gstore, ragged, tokens, qmask, pooled,
                        ds, max_len, use_pallas)
@@ -106,7 +106,7 @@ def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
     c2 = jnp.where(v2 > NEG_INF / 2,
                    jnp.take_along_axis(c1, pos2, axis=1), -1).astype(jnp.int32)
     rr = _local_rerank(ragged, tokens, qmask, c2, max_len, use_pallas,
-                       dedup=dedup)
+                       impl=impl)
     vals, pos = jax.lax.top_k(rr, k)
     idx = jnp.where(vals > NEG_INF / 2, jnp.take_along_axis(c2, pos, axis=1), -1)
     fi = jnp.maximum(idx, 0)
