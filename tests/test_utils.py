@@ -36,6 +36,21 @@ class TestMetrics:
         assert mrr_at_k(["x", "a"], {"a": 1}, 1) == 0.0
         assert ndcg_at_k(["x", "a"], {"a": 1}, 1) == 0.0
 
+    def test_metrics_at_ks_matches_scalar(self):
+        from visual_rag_tpu.utils.metrics import metrics_at_ks
+
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            docs = [f"d{i}" for i in range(30)]
+            qrels = {d: int(rng.integers(0, 3)) for d in rng.choice(docs, 8, replace=False)}
+            ranking = list(rng.permutation(docs))[: int(rng.integers(0, 25))]
+            ks = [1, 3, 5, 10, 100]
+            batched = metrics_at_ks(ranking, qrels, ks)
+            for k in ks:
+                assert batched[f"ndcg@{k}"] == pytest.approx(ndcg_at_k(ranking, qrels, k))
+                assert batched[f"mrr@{k}"] == pytest.approx(mrr_at_k(ranking, qrels, k))
+                assert batched[f"recall@{k}"] == pytest.approx(recall_at_k(ranking, qrels, k))
+
 
 class TestIds:
     def test_deterministic_uuid_format(self):
