@@ -1,30 +1,35 @@
 """Headline benchmark: batched two-stage retrieval QPS on the real TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "oracle_ok"}.
 
 Protocol: a ViDoRe-v2-scale synthetic corpus (3000 ColSmol-shaped pages,
-320-832 tokens/doc, pooled named vectors, bf16 storage) and 512-1024 queries
+320-832 tokens/doc, pooled named vectors, bf16 storage) and batched queries
 of 8-24 tokens, searched with the reference's default serving operating
 point — two_stage, prefetch_k=200, top_k=10 (reference two_stage.py:128-129)
-— in pipelined batches of 256 (the round-1-proven bucket), then
-opportunistically batches of 512 and 1024 when the budget clearly allows
-(best value wins; bigger batches amortize per-dispatch host+tunnel work).
+— in pipelined batches of 256, then opportunistically 512/1024 (best value
+wins; bigger batches amortize per-dispatch host+tunnel work).
 
-Robustness (round-2 postmortem — BENCH_r02.json rc=124):
-  * corpus is generated directly in HBM (index/synth.py), not streamed
-    through the ~70 s host tunnel seal;
-  * batch bucket stays at 256 (the round-1-proven shape);
-  * a cheap timed pass runs IMMEDIATELY after warm-up, so a real QPS
-    number exists within ~1 s of the first successful execution;
-  * a watchdog thread ALWAYS emits the JSON line (best measurement so
-    far) before BENCH_BUDGET_S (default 270 s) and exits 0 — the driver
-    can never again record rc=124/parsed=null.
+Robustness (round-3 postmortem — BENCH_r03.json value=0.0):
+  * SIGTERM/SIGINT handlers emit the best-so-far JSON line before dying, so
+    an external timeout-kill still yields a parseable line (r2 was rc=124
+    with no output);
+  * the watchdog is ADAPTIVE: while NO measurement exists yet it keeps
+    extending in 30 s steps up to BENCH_HARD_CAP_S (default 550 s) instead
+    of emitting a useless 0.0 at a fixed 270 s — the axon terminal claim on
+    the first device execution can take 5-12+ min if poisoned (CLAUDE.md)
+    and the driver demonstrably waits longer than 270 s;
+  * once a real measurement exists the watchdog reverts to the soft budget
+    (BENCH_BUDGET_S, default 270 s) so opportunistic rungs can't overrun;
+  * corpus is generated directly in HBM (index/synth.py), no host seal;
+  * a cheap timed pass runs IMMEDIATELY after warm-up, so a real QPS number
+    exists within ~1 s of the first successful execution.
 
-The residual risk is environmental: the axon terminal claim on the first
-device execution can take minutes if a previous process died mid-execution
-(diagnosed round 3 — compile via POST /remote_compile is seconds, the claim
-is the variable part). Nothing in-process can shorten that wait; the
-watchdog bounds the damage.
+Correctness witness: after the first measurement, one oracle pass checks
+two_stage(prefetch_k=corpus) against single_full on 256 queries — same
+top-1 and >=9/10 top-10 overlap (the documented TPU bf16 tolerance; exact
+rank equality holds on CPU f32 and is enforced by the test suite). The
+emitted JSON carries "oracle_ok". Matches the reference exactness contract
+(two_stage.py:161-180, exact=True).
 
 Baseline: the reference's published latency illustration for the same plan
 is ~50 ms/query on a 1000-doc corpus (two_stage.py:62-64), i.e. 20 QPS; no
@@ -33,6 +38,7 @@ absolute QPS is published (BASELINE.md), so vs_baseline = measured_qps / 20.
 
 import json
 import os
+import signal
 import sys
 import threading
 import time
@@ -42,12 +48,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np  # noqa: E402
 
+if os.environ.get("VISUALRAG_PLATFORM"):  # CPU smoke-testing; driver unset
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["VISUALRAG_PLATFORM"])
+
 BASELINE_QPS = 20.0  # reference two_stage.py:62-64 illustration (~50 ms/query)
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "270"))
+HARD_CAP_S = float(os.environ.get("BENCH_HARD_CAP_S", "550"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "3000"))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", "1024"))
 T0 = time.time()
 
-_state = {"best_qps": 0.0, "printed": False}
+_state = {"best_qps": 0.0, "printed": False, "oracle_ok": None}
 _lock = threading.Lock()
+
+
+def _elapsed():
+    return time.time() - T0
 
 
 def _emit():
@@ -61,16 +79,45 @@ def _emit():
             "value": round(qps, 1),
             "unit": "queries/s",
             "vs_baseline": round(qps / BASELINE_QPS, 2),
+            "oracle_ok": _state["oracle_ok"],
         }), flush=True)
 
 
+def _record(qps):
+    with _lock:
+        _state["best_qps"] = max(_state["best_qps"], qps)
+
+
+def _have_measurement():
+    with _lock:
+        return _state["best_qps"] > 0.0
+
+
+def _die(signum, _frame):
+    # External kill (driver timeout): emit whatever we have, exit cleanly so
+    # the line is flushed before the process dies.
+    _emit()
+    os._exit(0)
+
+
 def _watchdog():
-    time.sleep(max(1.0, BUDGET_S - (time.time() - T0)))
+    # Soft budget while measuring; adaptive extension (30 s steps, capped at
+    # HARD_CAP_S) while the first execution / terminal claim is still pending.
+    while True:
+        time.sleep(5.0)
+        el = _elapsed()
+        if _have_measurement():
+            if el >= BUDGET_S:
+                break
+        elif el >= HARD_CAP_S:
+            break
     _emit()
     os._exit(0)
 
 
 def main():
+    signal.signal(signal.SIGTERM, _die)
+    signal.signal(signal.SIGINT, _die)
     threading.Thread(target=_watchdog, daemon=True).start()
 
     from visual_rag_tpu.index.synth import synthetic_index
@@ -78,18 +125,19 @@ def main():
 
     # 3000 ColSmol-shaped pages (5-13 tiles x 64 = 320-832 tokens), bf16,
     # generated in HBM — matches the round-1 corpus distribution without the
-    # host-seal transfer.
+    # host-seal transfer. The first execution here also pays the axon
+    # terminal claim (the variable part — see module docstring).
     index = synthetic_index(
-        3000, min_tokens=320, max_tokens=832, pooled_rows=10,
+        N_DOCS, min_tokens=320, max_tokens=832, pooled_rows=10,
         storage_dtype="bfloat16", seed=0)
     engine = RetrievalEngine(index)
 
     rng = np.random.default_rng(1)
     all_queries = [
         rng.standard_normal((int(rng.integers(8, 25)), 128)).astype(np.float32)
-        for _ in range(1024)
+        for _ in range(N_QUERIES)
     ]
-    queries = all_queries[:512]
+    queries = all_queries[: N_QUERIES // 2]
     bs = 256  # round-1-proven bucket: compile cache hot, ~100 ms/batch warm
     batches = [queries[s: s + bs] for s in range(0, len(queries), bs)]
     kw = dict(mode="two_stage", top_k=10, prefetch_k=200, with_payload=False)
@@ -103,61 +151,71 @@ def main():
     tq = time.time()
     for _ in engine.search_embedded_batches(batches, **kw):
         pass
-    with _lock:
-        _state["best_qps"] = max(
-            _state["best_qps"], len(queries) / (time.time() - tq))
+    _record(len(queries) / (time.time() - tq))
+
+    # Correctness oracle (budget-gated; runs after the first measurement so
+    # it can never block getting a number): two_stage with prefetch covering
+    # the whole corpus must rank like the exhaustive scan.
+    if _elapsed() < 0.7 * BUDGET_S:
+        try:
+            oq = queries[: min(256, len(queries))]
+            exact = engine.search_embedded_batch(
+                oq, mode="single_full", top_k=10, with_payload=False)
+            wide = engine.search_embedded_batch(
+                oq, mode="two_stage", top_k=10, prefetch_k=index.num_docs,
+                with_payload=False)
+            ok = True
+            for ex, wd in zip(exact, wide):
+                ids_ex = [h["id"] for h in ex]
+                ids_wd = [h["id"] for h in wd]
+                if ids_ex[0] != ids_wd[0] or len(set(ids_ex) & set(ids_wd)) < 9:
+                    ok = False
+                    break
+            with _lock:
+                _state["oracle_ok"] = bool(ok)
+        except Exception:
+            with _lock:
+                _state["oracle_ok"] = False
 
     repeats = 4
     for _ in range(3):  # best-of-3: tunnel RTT jitter dominates noise
-        if time.time() - T0 > 0.6 * BUDGET_S:
+        if _elapsed() > 0.6 * BUDGET_S:
             break
         t0 = time.time()
         # pipelined: batch i+1 dispatches before batch i's results are
         # fetched, hiding the tunnel RTT (engine.search_embedded_batches)
         for _res in engine.search_embedded_batches(batches * repeats, **kw):
             pass
-        dt = time.time() - t0
-        with _lock:
-            _state["best_qps"] = max(
-                _state["best_qps"], repeats * len(queries) / dt)
+        _record(repeats * len(queries) / (time.time() - t0))
 
-    # Opportunistic larger bucket: bs=512 measured ~30% higher QPS in the r2
-    # sweep but its fresh plan compile is what blew the r2 driver budget.
-    # Only attempt it with ample budget left; the 256 result above is the
-    # guaranteed floor either way (watchdog emits best-so-far regardless).
-    if time.time() - T0 < 0.45 * BUDGET_S:
+    # Opportunistic larger buckets: the r2/r3 batch-size sweeps scaled
+    # 256->2706, 512->3692, 1024->5254 QPS (the batch budget is per-dispatch
+    # host+tunnel work, so bigger batches amortize it). Each rung costs one
+    # fresh plan compile; the 256 result above is the guaranteed floor either
+    # way (watchdog emits best-so-far regardless).
+    if _elapsed() < 0.45 * BUDGET_S:
         big = [queries]  # one 512-query batch
         for _ in engine.search_embedded_batches(big * 2, **kw):  # warm
             pass
         for _ in range(2):
-            if time.time() - T0 > 0.8 * BUDGET_S:
+            if _elapsed() > 0.8 * BUDGET_S:
                 break
             t0 = time.time()
             for _res in engine.search_embedded_batches(big * 8, **kw):
                 pass
-            dt = time.time() - t0
-            with _lock:
-                _state["best_qps"] = max(
-                    _state["best_qps"], 8 * len(queries) / dt)
+            _record(8 * len(queries) / (time.time() - t0))
 
-    # Second opportunistic rung: bs=1024. The r2 batch-size sweep scaled
-    # 256->2706, 512->3692, 1024->5254 QPS (the batch budget is per-dispatch
-    # host+tunnel work, so bigger batches amortize it) — worth one more plan
-    # compile when the budget clearly allows.
-    if time.time() - T0 < 0.55 * BUDGET_S:
+    if _elapsed() < 0.55 * BUDGET_S:
         huge = [all_queries]  # one 1024-query batch
         for _ in engine.search_embedded_batches(huge * 2, **kw):  # warm
             pass
         for _ in range(2):
-            if time.time() - T0 > 0.85 * BUDGET_S:
+            if _elapsed() > 0.85 * BUDGET_S:
                 break
             t0 = time.time()
             for _res in engine.search_embedded_batches(huge * 8, **kw):
                 pass
-            dt = time.time() - t0
-            with _lock:
-                _state["best_qps"] = max(
-                    _state["best_qps"], 8 * len(all_queries) / dt)
+            _record(8 * len(all_queries) / (time.time() - t0))
     _emit()
 
 

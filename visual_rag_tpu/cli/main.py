@@ -30,7 +30,38 @@ def _add_common(parser):
     parser.add_argument("--index-dir", default="index_data", help="collection root dir")
     parser.add_argument("--collection", default="visual_rag", help="collection name")
     parser.add_argument("--model", default="vidore/colSmol-500M")
+    parser.add_argument("--checkpoint", default=None,
+                        help="local directory of *.safetensors (real model "
+                             "weights); config is inferred from its "
+                             "config.json + tensor shapes")
+    parser.add_argument("--tokenizer", default=None,
+                        help="local tokenizer.json (or a checkpoint dir "
+                             "containing one); defaults to $VISUALRAG_TOKENIZER "
+                             "or, failing that, the hash tokenizer")
     parser.add_argument("--verbose", action="store_true")
+
+
+def _make_embedder(args, config=None, params=None, **kw):
+    """VisualEmbedder honoring --checkpoint/--tokenizer (turnkey real weights)."""
+    from visual_rag_tpu.models.embedder import VisualEmbedder
+
+    checkpoint = getattr(args, "checkpoint", None)
+    if checkpoint and config is None:
+        from visual_rag_tpu.models.convert import (
+            config_from_checkpoint,
+            read_state_dict,
+        )
+
+        config = config_from_checkpoint(
+            checkpoint, args.model, state_dict=read_state_dict(checkpoint))
+    tokenizer = getattr(args, "tokenizer", None)
+    for d in (checkpoint, getattr(args, "checkpoint_dir", None)):
+        if not tokenizer and d and (Path(d) / "tokenizer.json").exists():
+            tokenizer = d  # HF snapshots ship tokenizer.json alongside
+    return VisualEmbedder(
+        args.model, config=config, params=params,
+        checkpoint=None if params is not None else checkpoint,
+        tokenizer_path=tokenizer, **kw)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -93,6 +124,19 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("info", help="show collection status")
     _add_common(i)
 
+    c = sub.add_parser(
+        "checkpoint",
+        help="convert + validate a local HF checkpoint (*.safetensors); "
+             "optionally run an embed->index->search smoke test with it")
+    _add_common(c)
+    c.add_argument("checkpoint_dir",
+                   help="directory with *.safetensors (+ config.json / "
+                        "tokenizer.json when available)")
+    c.add_argument("--smoke-test", action="store_true",
+                   help="embed 3 synthetic pages + a query with the real "
+                        "weights, seal an index, and search it end-to-end")
+    c.add_argument("--json", action="store_true", help="machine-readable report")
+
     v = sub.add_parser("serve", help="HTTP search service with dynamic batching")
     _add_common(v)
     v.add_argument("--host", default="127.0.0.1")
@@ -130,7 +174,6 @@ def _load_builder(args):
 def cmd_process(args) -> int:
     from visual_rag_tpu.index import CollectionSchema, IndexBuilder
     from visual_rag_tpu.index.builder import VectorSpec
-    from visual_rag_tpu.models.embedder import VisualEmbedder
     from visual_rag_tpu.pipeline import (
         CropEmptyConfig,
         LocalImageStore,
@@ -148,7 +191,7 @@ def cmd_process(args) -> int:
             print(f"  would process {p}")
         return 0
 
-    embedder = VisualEmbedder(args.model, batch_size=args.embedding_batch_size)
+    embedder = _make_embedder(args, batch_size=args.embedding_batch_size)
     mapping = None
     if args.metadata_mapping:
         mapping = ProcessingPipeline.load_metadata_mapping(args.metadata_mapping)
@@ -204,7 +247,6 @@ def cmd_process(args) -> int:
 
 
 def cmd_search(args) -> int:
-    from visual_rag_tpu.models.embedder import VisualEmbedder
     from visual_rag_tpu.retrieval import RetrievalEngine, build_filter
 
     builder = _load_builder(args)
@@ -219,7 +261,7 @@ def cmd_search(args) -> int:
         raise SystemExit(
             f"Vector {exp_name!r} not in collection (have: {index.vector_names})")
 
-    embedder = VisualEmbedder(args.model)
+    embedder = _make_embedder(args)
     engine = RetrievalEngine(index, experimental_vector_name=exp_name,
                              stage1_cut=getattr(args, "stage1_cut", "auto"))
     q = embedder.embed_query(args.query)
@@ -258,9 +300,7 @@ def cmd_serve(args) -> int:
                              stage1_cut=getattr(args, "stage1_cut", "auto"))
     embedder = None
     if not args.no_embedder:
-        from visual_rag_tpu.models.embedder import VisualEmbedder
-
-        embedder = VisualEmbedder(args.model)
+        embedder = _make_embedder(args)
     if args.workers > 0:
         server = MultiWorkerServer(
             engine, embedder=embedder, host=args.host, port=args.port,
@@ -280,6 +320,100 @@ def cmd_serve(args) -> int:
         print("stopping")
         server.stop()
     return 0
+
+
+def cmd_checkpoint(args) -> int:
+    """Turnkey real-weights path: local safetensors -> ColVLM params ->
+    (optionally) embed -> index -> search, in one command.
+
+    The day network egress exists, quality parity with the reference's
+    checkpoint loading (visual_embedder.py:153-323 via colpali-engine) is:
+    download the snapshot, then ``visual-rag-tpu checkpoint <dir> --smoke-test``.
+    """
+    import numpy as np
+
+    from visual_rag_tpu.models.convert import (
+        config_from_checkpoint,
+        convert_state_dict,
+        read_state_dict,
+        validate_against_model,
+    )
+    from visual_rag_tpu.models.embedder import detect_backend
+
+    state = read_state_dict(args.checkpoint_dir)
+    cfg = config_from_checkpoint(args.checkpoint_dir, args.model, state_dict=state)
+    params, report = convert_state_dict(state, cfg)
+    issues = validate_against_model(params, cfg)
+    summary = {
+        "checkpoint": args.checkpoint_dir,
+        "model": args.model,
+        "backend": detect_backend(args.model),
+        "hf_layout": cfg.hf_layout,
+        "embed_dim": cfg.embed_dim,
+        "text_layers": cfg.text.layers,
+        "vision_layers": cfg.vision.layers,
+        "tensors_matched": len(report["matched"]),
+        "missing": report["missing"],
+        "unused": report["unused"][:20],
+        "shape_issues": issues,
+        "ok": not report["missing"] and not issues,
+    }
+
+    if args.smoke_test and summary["ok"]:
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+        from visual_rag_tpu.index.builder import VectorSpec
+        from visual_rag_tpu.pipeline import ProcessingPipeline
+        from visual_rag_tpu.pipeline.pipeline import experimental_vector_plan
+        from visual_rag_tpu.retrieval import RetrievalEngine
+
+        embedder = _make_embedder(args, config=cfg, params=params)
+        plan = experimental_vector_plan(embedder.backend)
+        dim = cfg.embed_dim
+        builder = IndexBuilder(CollectionSchema(vectors={
+            "initial": VectorSpec("initial", "ragged", dim),
+            "mean_pooling": VectorSpec("mean_pooling", "padded", dim),
+            "global_pooling": VectorSpec("global_pooling", "single", dim),
+            **{n: VectorSpec(n, "padded", dim) for n in plan["names"]},
+        }, storage_dtype="bfloat16"))
+        pipeline = ProcessingPipeline(embedder, builder, strategy="pooling")
+        rng = np.random.default_rng(0)
+        images = [rng.random((96, 128, 3), dtype=np.float32) for _ in range(3)]
+        stats = pipeline.process_images(images, source_id="smoke.pdf")
+        engine = RetrievalEngine(
+            builder.seal(), experimental_vector_name=plan["canonical"])
+        q = embedder.embed_query("what is the revenue table?")
+        hits = engine.search_embedded(q, mode="two_stage", top_k=3,
+                                      with_payload=False)
+        summary["smoke"] = {
+            "pages_indexed": stats.pages_processed,
+            "pages_failed": stats.pages_failed,
+            "top_hit": hits[0]["id"] if hits else None,
+            "n_hits": len(hits),
+            "ok": stats.pages_processed == 3 and bool(hits),
+        }
+        summary["ok"] = summary["ok"] and summary["smoke"]["ok"]
+
+    if args.json:
+        print(json.dumps(summary, default=str))
+    else:
+        print(f"checkpoint: {summary['checkpoint']}")
+        print(f"  backend {summary['backend']} ({summary['hf_layout']}), "
+              f"embed_dim {summary['embed_dim']}, "
+              f"{summary['text_layers']}+{summary['vision_layers']} layers")
+        print(f"  matched {summary['tensors_matched']} tensors; "
+              f"{len(summary['missing'])} missing, "
+              f"{len(report['unused'])} unused, "
+              f"{len(issues)} shape issues")
+        for m in summary["missing"][:10]:
+            print(f"    missing: {m}")
+        for s in issues[:10]:
+            print(f"    {s}")
+        if "smoke" in summary:
+            s = summary["smoke"]
+            print(f"  smoke test: {s['pages_indexed']} pages indexed, "
+                  f"top hit {s['top_hit']} ({'ok' if s['ok'] else 'FAILED'})")
+        print("OK" if summary["ok"] else "FAILED")
+    return 0 if summary["ok"] else 1
 
 
 def cmd_info(args) -> int:
@@ -305,6 +439,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_search(args)
     if args.command == "serve":
         return cmd_serve(args)
+    if args.command == "checkpoint":
+        return cmd_checkpoint(args)
     return cmd_info(args)
 
 

@@ -493,9 +493,16 @@ class VisionTower(nn.Module):
                      dtype=self.dtype, name="patch_embed")(
             patches.astype(self.dtype))
         if self.cfg.learned_pos:
+            # Table size must equal the HF export's position_embedding rows:
+            # with pixel shuffle, positions index WITHIN one (8*s)^2-patch
+            # tile, so the table has (8*s)^2 rows regardless of how many
+            # tiles a page carries (real ColSmol: 1024 rows vs an 18432-patch
+            # page budget) — sizing it max_patches would reject real weights.
+            s = self.cfg.pixel_shuffle
+            pos_rows = (8 * s) ** 2 if s > 1 else self.cfg.max_patches
             pos = self.param(
                 "pos_embed", nn.initializers.normal(0.02),
-                (self.cfg.max_patches, self.cfg.hidden))
+                (pos_rows, self.cfg.hidden))
             if self.cfg.pixel_shuffle > 1:
                 # per-tile position table: SigLIP positions index within each
                 # (8*s)^2-patch tile, not across the page's tile sequence.

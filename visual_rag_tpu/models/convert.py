@@ -288,27 +288,158 @@ def convert_state_dict(
     return {"params": params}, report
 
 
-def load_checkpoint(path_or_repo: str, cfg: ColVLMConfig):
-    """Load safetensors from a local dir or the HF hub (network gated)."""
+def _find_subconfigs(js: Dict[str, Any]):
+    """Locate the text/vision sub-config dicts inside an HF ``config.json``.
+
+    HF exports nest them differently per family (``text_config`` /
+    ``vision_config`` at top level for Idefics3 and PaliGemma; sometimes
+    under ``vlm_config`` for colpali-engine exports), so this walks the whole
+    JSON and classifies any dict carrying ``hidden_size``: a text backbone
+    has ``vocab_size``; a vision tower has ``patch_size``/``depth``.
+    """
+    text = None
+    vision = None
+
+    def walk(node):
+        nonlocal text, vision
+        if not isinstance(node, dict):
+            return
+        if "hidden_size" in node:
+            if "vocab_size" in node and text is None:
+                text = node
+            elif ("patch_size" in node or "depth" in node) and vision is None:
+                vision = node
+        for v in node.values():
+            walk(v)
+
+    walk(js)
+    return text, vision
+
+
+def config_from_checkpoint(
+    path: str,
+    model_name: str = "",
+    state_dict: Dict[str, Any] | None = None,
+) -> ColVLMConfig:
+    """Derive a ColVLMConfig from a local HF checkpoint directory.
+
+    Turnkey real-weights path (reference loads shapes implicitly through
+    colpali-engine's AutoModel, model_loader.py): start from the backend
+    default for ``model_name`` (or the directory name), then override every
+    field ``config.json`` specifies, and finally take ``embed_dim`` from the
+    projection tensor's actual shape when a state dict is provided. Works on
+    full-size exports and on tiny-random test exports alike.
+    """
+    import dataclasses
+    import json
+    import os
+
+    from visual_rag_tpu.models.embedder import _CONFIG_BY_BACKEND, detect_backend
+
+    backend = detect_backend(model_name or os.path.basename(os.path.normpath(path)))
+    cfg: ColVLMConfig = _CONFIG_BY_BACKEND[backend]()
+
+    cfg_path = os.path.join(path, "config.json")
+    if os.path.isfile(cfg_path):
+        with open(cfg_path, encoding="utf-8") as f:
+            js = json.load(f)
+        tjs, vjs = _find_subconfigs(js)
+        if tjs:
+            t = cfg.text
+            heads = int(tjs.get("num_attention_heads", t.heads))
+            cfg = dataclasses.replace(cfg, text=dataclasses.replace(
+                t,
+                hidden=int(tjs.get("hidden_size", t.hidden)),
+                layers=int(tjs.get("num_hidden_layers", t.layers)),
+                heads=heads,
+                kv_heads=int(tjs.get("num_key_value_heads", heads)),
+                mlp_hidden=int(tjs.get("intermediate_size", t.mlp_hidden)),
+                vocab=int(tjs.get("vocab_size", t.vocab)),
+                rope_theta=float(tjs.get("rope_theta", t.rope_theta)),
+            ))
+        if vjs:
+            v = cfg.vision
+            hidden = int(vjs.get("hidden_size", v.hidden))
+            ps = int(vjs.get("patch_size", 0))
+            mlp_ratio = (float(vjs["intermediate_size"]) / hidden
+                         if "intermediate_size" in vjs else v.mlp_ratio)
+            kw = dict(
+                hidden=hidden,
+                layers=int(vjs.get("depth", vjs.get("num_hidden_layers", v.layers))),
+                heads=int(vjs.get("num_heads", vjs.get("num_attention_heads", v.heads))),
+                mlp_ratio=mlp_ratio,
+            )
+            if ps:
+                kw["patch_pixels"] = 3 * ps * ps
+            if "fullatt_block_indexes" in vjs:  # Qwen2.5-VL windowed ViT
+                kw["full_attn_layers"] = tuple(vjs["fullatt_block_indexes"])
+                if ps and "window_size" in vjs:
+                    kw["window_side"] = int(vjs["window_size"]) // (
+                        ps * max(1, int(vjs.get("spatial_merge_size", 1))))
+            cfg = dataclasses.replace(cfg, vision=dataclasses.replace(v, **kw))
+            if "spatial_merge_size" in vjs:
+                cfg = dataclasses.replace(
+                    cfg, spatial_merge=int(vjs["spatial_merge_size"]))
+        # Idefics3/SmolVLM pixel-shuffle factor (HF names it scale_factor)
+        for src in (js, tjs or {}, vjs or {}):
+            if "scale_factor" in src:
+                cfg = dataclasses.replace(cfg, vision=dataclasses.replace(
+                    cfg.vision, pixel_shuffle=int(src["scale_factor"])))
+                break
+        for key in ("image_token_id", "image_token_index"):
+            if key in js:
+                cfg = dataclasses.replace(cfg, image_token_id=int(js[key]))
+        for key in ("embedding_dim", "dim"):
+            if key in js:
+                cfg = dataclasses.replace(cfg, embed_dim=int(js[key]))
+
+    if state_dict:
+        normalized = {_strip_prefix(k): v for k, v in state_dict.items()}
+        for proj_key in ("custom_text_proj.weight", "embedding_proj_layer.weight"):
+            if proj_key in normalized:
+                # HF Linear [out, in]: out IS the late-interaction dim
+                cfg = dataclasses.replace(
+                    cfg, embed_dim=int(_np(normalized[proj_key]).shape[0]))
+                break
+        pos_key = next(
+            (k for k in normalized
+             if k.endswith("embeddings.position_embedding.weight")), None)
+        if pos_key is not None and cfg.vision.pixel_shuffle <= 1:
+            # sequential positions: the table's rows ARE the per-page patch
+            # budget (with pixel shuffle the table is per-tile and max_patches
+            # stays the page budget — see colvlm SigLIPVision pos sizing)
+            rows = int(_np(normalized[pos_key]).shape[0])
+            cfg = dataclasses.replace(
+                cfg, vision=dataclasses.replace(cfg.vision, max_patches=rows))
+    return cfg
+
+
+def read_state_dict(path: str) -> Dict[str, Any]:
+    """Load and merge all ``*.safetensors`` shards under a local directory."""
     import glob
     import os
 
-    files: List[str] = []
-    if os.path.isdir(path_or_repo):
-        files = sorted(glob.glob(os.path.join(path_or_repo, "*.safetensors")))
-    else:  # hub repo id
-        from huggingface_hub import snapshot_download  # gated heavy dep
-
-        local = snapshot_download(path_or_repo, allow_patterns=["*.safetensors"])
-        files = sorted(glob.glob(os.path.join(local, "*.safetensors")))
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
     if not files:
-        raise FileNotFoundError(f"no .safetensors under {path_or_repo}")
+        raise FileNotFoundError(f"no .safetensors under {path}")
     from safetensors.numpy import load_file
 
     state: Dict[str, Any] = {}
     for f in files:
         state.update(load_file(f))
-    return convert_state_dict(state, cfg)
+    return state
+
+
+def load_checkpoint(path_or_repo: str, cfg: ColVLMConfig):
+    """Load safetensors from a local dir or the HF hub (network gated)."""
+    import os
+
+    if not os.path.isdir(path_or_repo):  # hub repo id (network gated)
+        from huggingface_hub import snapshot_download  # gated heavy dep
+
+        path_or_repo = snapshot_download(
+            path_or_repo, allow_patterns=["*.safetensors"])
+    return convert_state_dict(read_state_dict(path_or_repo), cfg)
 
 
 def validate_against_model(params, cfg: ColVLMConfig) -> List[str]:
