@@ -58,7 +58,10 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "270"))
 HARD_CAP_S = float(os.environ.get("BENCH_HARD_CAP_S", "550"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "3000"))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "1024"))
-T0 = time.time()
+# T0 survives re-execs (see _retry_fresh_process): the budget is wall-clock
+# from the FIRST attempt, not per attempt.
+T0 = float(os.environ.get("BENCH_T0", "0") or time.time())
+os.environ["BENCH_T0"] = str(T0)
 
 _state = {"best_qps": 0.0, "printed": False, "oracle_ok": None}
 _lock = threading.Lock()
@@ -115,6 +118,21 @@ def _watchdog():
     os._exit(0)
 
 
+def _retry_fresh_process():
+    """Backend init failed (axon UNAVAILABLE, observed transiently): retry in
+    a FRESH process — jax caches a failed backend for the process lifetime.
+    T0/attempt ride through the environment so the budget never resets."""
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+    if _elapsed() > HARD_CAP_S - 90 or attempt >= 6:
+        _emit()  # out of budget: report what we have (0.0 if never measured)
+        os._exit(0)
+    os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
+    print(f"# backend unavailable (attempt {attempt}); retrying in 20 s",
+          file=sys.stderr, flush=True)
+    time.sleep(20)
+    os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+
 def main():
     signal.signal(signal.SIGTERM, _die)
     signal.signal(signal.SIGINT, _die)
@@ -127,9 +145,14 @@ def main():
     # generated in HBM — matches the round-1 corpus distribution without the
     # host-seal transfer. The first execution here also pays the axon
     # terminal claim (the variable part — see module docstring).
-    index = synthetic_index(
-        N_DOCS, min_tokens=320, max_tokens=832, pooled_rows=10,
-        storage_dtype="bfloat16", seed=0)
+    try:
+        index = synthetic_index(
+            N_DOCS, min_tokens=320, max_tokens=832, pooled_rows=10,
+            storage_dtype="bfloat16", seed=0)
+    except RuntimeError as e:
+        if "nable to initialize backend" in str(e) or "UNAVAILABLE" in str(e):
+            _retry_fresh_process()
+        raise
     engine = RetrievalEngine(index)
 
     rng = np.random.default_rng(1)

@@ -52,8 +52,13 @@ def save_sealed(index: SealedIndex, directory) -> None:
                 meta["stores"][name] = {
                     "kind": "ragged", "max_len": store.max_len,
                     "dtype": str(store.flat.dtype),
-                    "has_scales": store.scales is not None}
+                    "has_scales": store.scales is not None,
+                    "has_res4": store.res4 is not None}
                 writer.add(f"{name}__flat", _np_for_write(store.flat))
+                if store.res4 is not None:  # int8+int4 refinement sidecar
+                    writer.add(f"{name}__res4", np.asarray(store.res4))
+                    writer.add(f"{name}__res_scales",
+                               np.asarray(store.res_scales, np.float32))
                 offsets = np.asarray(store.offsets)
                 if offsets.size and int(offsets.max()) > np.iinfo(np.int32).max:
                     raise ValueError(
@@ -126,7 +131,12 @@ def load_sealed(directory, verify: bool = False) -> SealedIndex:
                 flat=_revive(np.array(sections[f"{name}__flat"]), m["dtype"]),
                 offsets=jnp.asarray(np.array(sections[f"{name}__offsets"])),
                 lengths=jnp.asarray(np.array(sections[f"{name}__lengths"])),
-                max_len=int(m["max_len"]), scales=scales)
+                max_len=int(m["max_len"]), scales=scales,
+                res4=(jnp.asarray(np.array(sections[f"{name}__res4"]))
+                      if m.get("has_res4") else None),
+                res_scales=(jnp.asarray(np.array(
+                    sections[f"{name}__res_scales"]))
+                    if m.get("has_res4") else None))
         elif m["kind"] == "padded":
             stores[name] = PaddedMultiVectors(
                 values=_revive(np.array(sections[f"{name}__values"]), m["dtype"]),

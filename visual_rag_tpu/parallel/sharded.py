@@ -209,6 +209,38 @@ class ShardedIndex:
                     spad = jnp.pad(jnp.asarray(store.scales, jnp.float32),
                                    (0, n * ds - d))
                     stores[name]["scales"] = put(spad.reshape(n, ds), P(axis))
+                if store.res4 is not None:
+                    # int4 residual sidecar rows are 1:1 with flat rows —
+                    # shard with the identical spans/repack
+                    if contiguous:
+                        r_dev = jnp.asarray(store.res4)
+                        rs_dev = jnp.asarray(store.res_scales)
+                        stores[name]["res4"] = put(jnp.stack([
+                            jnp.pad(r_dev[s : s + sp], ((0, t_max - sp), (0, 0)))
+                            for s, sp in spans]), P(axis))
+                        stores[name]["res_scales"] = put(jnp.stack([
+                            jnp.pad(rs_dev[s : s + sp], (0, t_max - sp))
+                            for s, sp in spans]), P(axis))
+                    else:
+                        r_np = np.asarray(store.res4)
+                        rs_np = np.asarray(store.res_scales)
+                        rbufs, rsbufs = [], []
+                        for si in range(n):
+                            lo, hi = si * ds, min((si + 1) * ds, d)
+                            rb = np.zeros((t_max, r_np.shape[1]), np.uint8)
+                            rsb = np.zeros((t_max,), np.float32)
+                            for j in range(lo, hi):
+                                o = shard_offs[si, j - lo]
+                                rb[o : o + int(lengths[j])] = r_np[
+                                    offsets[j] : offsets[j] + int(lengths[j])]
+                                rsb[o : o + int(lengths[j])] = rs_np[
+                                    offsets[j] : offsets[j] + int(lengths[j])]
+                            rbufs.append(rb)
+                            rsbufs.append(rsb)
+                        stores[name]["res4"] = put(
+                            jnp.asarray(np.stack(rbufs)), P(axis))
+                        stores[name]["res_scales"] = put(
+                            jnp.asarray(np.stack(rsbufs)), P(axis))
                 kinds[name] = "ragged"
             else:  # pragma: no cover
                 raise TypeError(f"Unknown store type for {name!r}")
@@ -450,6 +482,45 @@ def _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pall
     raise ValueError(kind)
 
 
+def _refine_window(k: int, limit: int) -> int:
+    """Candidates re-scored by the int8+int4 refine pass: wide enough that
+    the int8 ordering's ~3e-3 noise cannot push a true top-k member outside
+    it (measured: top-32 of 200 equals full-precision ranking)."""
+    return max(1, min(limit, max(32, 2 * k)))
+
+
+def _local_refine(ragged, tokens, qmask, cand, max_len):
+    """Exact MaxSim of ``cand`` at int8+int4 precision (batch.xla_refine_rerank)."""
+    return BATCH.xla_refine_rerank(
+        ragged["flat"], ragged["res4"], ragged["res_scales"],
+        ragged["offsets"], ragged["lengths"], tokens, qmask, cand, max_len,
+        doc_scales=ragged.get("scales"))
+
+
+def _refine_topk(ragged, tokens, qmask, cand, rr, k: int, max_len: int):
+    """Final top-k with optional int8 two-pass refinement.
+
+    Plain stores: top-k of the rerank scores directly. Refined int8 stores
+    (``res4`` sidecar present): re-score the int8 top window at 12-bit
+    precision, then cut — the fast kernels keep reading 1-byte codes and
+    only ~32 candidates/query pay the dequant traffic.
+    """
+    if ragged.get("res4") is None:
+        vals, pos = jax.lax.top_k(rr, k)
+        idx = jnp.where(vals > NEG_INF / 2,
+                        jnp.take_along_axis(cand, pos, axis=1), -1)
+        return vals, idx.astype(jnp.int32)
+    rk = _refine_window(k, cand.shape[1])
+    v8, pos8 = jax.lax.top_k(rr, rk)
+    c8 = jnp.where(v8 > NEG_INF / 2,
+                   jnp.take_along_axis(cand, pos8, axis=1), -1).astype(jnp.int32)
+    fine = _local_refine(ragged, tokens, qmask, c8, max_len)
+    vals, pos = jax.lax.top_k(fine, min(k, rk))
+    idx = jnp.where(vals > NEG_INF / 2,
+                    jnp.take_along_axis(c8, pos, axis=1), -1)
+    return vals, idx.astype(jnp.int32)
+
+
 def _merge_topk(vals, gids, k, axis):
     """all_gather local top-k from every shard, merge to a replicated top-k."""
     vg = jax.lax.all_gather(vals, axis)  # [n, B, kl]
@@ -597,8 +668,17 @@ class ShardedEngine(EngineCommon):
             scores = _local_stage1(
                 kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas)
             scores = jnp.where(mask > 0, scores, NEG_INF)
-            v, i = jax.lax.top_k(scores, kl)
             base = jax.lax.axis_index(axis) * ds
+            if kind == "tokens_ragged" and ragged.get("res4") is not None:
+                # int8 two-pass per shard: refine the local int8 window, then
+                # merge shards by REFINED scores (each doc owned by one shard)
+                rkl = _refine_window(k, ds)
+                v8, i8 = jax.lax.top_k(scores, rkl)
+                cand = jnp.where(v8 > NEG_INF / 2, i8, -1).astype(jnp.int32)
+                v, i = _refine_topk(ragged, tokens, qmask, cand, v8, kl, max_len)
+                gids = jnp.where((v > NEG_INF / 2) & (i >= 0), base + i, -1)
+                return _merge_topk(v, gids, k, axis)
+            v, i = jax.lax.top_k(scores, kl)
             gids = jnp.where(v > NEG_INF / 2, base + i, -1)
             return _merge_topk(v, gids, k, axis)
 
@@ -636,6 +716,20 @@ class ShardedEngine(EngineCommon):
             rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
                                impl=impl)
             full = jax.lax.pmax(rr, axis)  # each candidate valid on one shard
+            if ragged.get("res4") is not None:
+                # two-pass: the GLOBAL int8 window is refined shard-locally
+                # (each winner owned by one shard), pmax merges refined scores
+                rk = _refine_window(k, pk)
+                v8, pos8 = jax.lax.top_k(full, rk)
+                rids = jnp.take_along_axis(merged, pos8, axis=1)
+                rloc = rids - base
+                rok = (rloc >= 0) & (rloc < ds) & (rids >= 0)
+                rcand = jnp.where(rok, rloc, -1).astype(jnp.int32)
+                fine = jax.lax.pmax(
+                    _local_refine(ragged, tokens, qmask, rcand, max_len), axis)
+                vals, pos = jax.lax.top_k(fine, min(k, rk))
+                ids = jnp.take_along_axis(rids, pos, axis=1)
+                return vals, jnp.where(vals > NEG_INF / 2, ids, -1)
             vals, pos = jax.lax.top_k(full, k)
             ids = jnp.take_along_axis(merged, pos, axis=1)
             return vals, jnp.where(vals > NEG_INF / 2, ids, -1)
@@ -691,9 +785,25 @@ class ShardedEngine(EngineCommon):
             rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
                                impl=impl)
             full = jax.lax.pmax(rr, axis)
-            vals, pos = jax.lax.top_k(full, kk)
-            ids = jnp.take_along_axis(m2_ids, pos, axis=1)
-            ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+            if ragged.get("res4") is not None:
+                rk = _refine_window(kk, full.shape[1])
+                v8, pos8 = jax.lax.top_k(full, rk)
+                rids = jnp.take_along_axis(m2_ids, pos8, axis=1)
+                rloc = rids - base
+                rok = (rloc >= 0) & (rloc < ds) & (rids >= 0)
+                rcand = jnp.where(rok, rloc, -1).astype(jnp.int32)
+                fine = jax.lax.pmax(
+                    _local_refine(ragged, tokens, qmask, rcand, max_len), axis)
+                vals, fpos = jax.lax.top_k(fine, min(kk, rk))
+                ids = jnp.take_along_axis(rids, fpos, axis=1)
+                ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+                # winners leave m2_ids order: recover stage-2 positions by match
+                match = (m2_ids[:, None, :] == ids[:, :, None]) & (ids[:, :, None] >= 0)
+                pos = jnp.argmax(match, axis=2)
+            else:
+                vals, pos = jax.lax.top_k(full, kk)
+                ids = jnp.take_along_axis(m2_ids, pos, axis=1)
+                ids = jnp.where(vals > NEG_INF / 2, ids, -1)
             # per-stage provenance at the winners
             lidw = ids - base
             okw = (lidw >= 0) & (lidw < ds) & (ids >= 0)

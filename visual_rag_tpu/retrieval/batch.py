@@ -253,6 +253,58 @@ def xla_rerank_batch(
     return out[:, :k]
 
 
+@partial(jax.jit, static_argnames=("max_len", "chunk"))
+def xla_refine_rerank(
+    flat, res4, res_scales, offsets, lengths, tokens, qmask, candidates,
+    max_len: int, doc_scales=None, chunk: int = 2,
+):
+    """[B, K] exact MaxSim at int8+int4 precision (the two-pass refinement).
+
+    ``flat`` holds per-doc-scaled int8 codes (what the fast kernels read);
+    ``res4`` packs a per-row int4 residual two nibbles per byte (column 2j
+    low, 2j+1 high) at per-row scales ``res_scales``. Dequantized value =
+    ``doc_scale * c8 + res_scale * c4`` — effectively 12-bit storage, which
+    restores bf16-parity ranking for the final top-k (int8 alone has a
+    ~3e-3 score-noise floor). Runs only on the int8 top-``K`` candidates
+    (K ~ 32), so the traffic is bounded and the hot kernels stay 1-byte.
+    """
+    b, k = candidates.shape
+    n_chunks = -(-k // chunk)
+    pad = n_chunks * chunk - k
+    cand = jnp.pad(candidates, ((0, 0), (0, pad)), constant_values=-1) if pad else candidates
+    ci = jnp.moveaxis(cand.reshape(b, n_chunks, chunk), 1, 0)
+    qm = jnp.asarray(qmask, jnp.float32)
+
+    def one(cc):  # cc: [B, chunk]
+        safe = jnp.maximum(cc, 0)
+        offs = offsets[safe]
+        lens = jnp.where(cc >= 0, lengths[safe], 0)
+        idx = offs[:, :, None] + jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
+        tmask = jnp.arange(max_len, dtype=jnp.int32)[None, None, :] < lens[:, :, None]
+        idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+        vals = flat[idx].astype(jnp.float32)  # [B, chunk, T, dim]
+        if doc_scales is not None:
+            vals = vals * doc_scales[safe][:, :, None, None]
+        packed = res4[idx]  # [B, chunk, T, dim//2] uint8
+        lo = (packed & 15).astype(jnp.int32) - 8
+        hi = (packed >> 4).astype(jnp.int32) - 8
+        res = jnp.stack([lo, hi], axis=-1).reshape(vals.shape)
+        vals = vals + res.astype(jnp.float32) * res_scales[idx][..., None]
+        sims = jnp.einsum("bqd,bktd->bkqt", tokens.astype(jnp.float32), vals,
+                          preferred_element_type=jnp.float32)
+        sims = jnp.where(tmask[:, :, None, :], sims, NEG_INF)
+        per_q = jnp.max(sims, axis=3)
+        has = jnp.any(tmask, axis=2)
+        per_q = jnp.where(has[:, :, None], per_q, 0.0)
+        per_q = per_q * qm[:, None, :]
+        sc = jnp.sum(per_q, axis=2)
+        return jnp.where(cc >= 0, sc, NEG_INF)
+
+    out = jax.lax.map(one, ci)  # [n_chunks, B, chunk]
+    out = jnp.moveaxis(out, 0, 1).reshape(b, n_chunks * chunk)
+    return out[:, :k]
+
+
 @partial(jax.jit, static_argnames=("k",))
 def topk_batch(scores: jnp.ndarray, k: int, doc_mask: Optional[jnp.ndarray] = None):
     """Per-row top-k with optional shared doc mask; invalid -> -1."""

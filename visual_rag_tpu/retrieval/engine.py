@@ -332,6 +332,28 @@ class RetrievalEngine(EngineCommon):
             store.max_len, scales=store.scales, compute_dtype=self.compute_dtype,
         )
 
+    def _maybe_refine(self, q_tokens: jnp.ndarray, candidates: jnp.ndarray,
+                      rr: jnp.ndarray, k: int):
+        """int8 two-pass refinement for the per-query path: re-score the int8
+        top window with the int4 residual sidecar (bf16-parity final ranking).
+        No-op (returns inputs) for stores without a residual."""
+        store = self.index.store(self.full_vector_name)
+        if getattr(store, "res4", None) is None:
+            return rr, candidates
+        from visual_rag_tpu.parallel.sharded import _refine_window
+        from visual_rag_tpu.retrieval.batch import xla_refine_rerank
+
+        rk = _refine_window(k, int(candidates.shape[0]))
+        v8, pos8 = jax.lax.top_k(rr, rk)
+        c8 = jnp.where(v8 > NEG_INF / 2, candidates[pos8], -1).astype(jnp.int32)
+        qt = q_tokens[None]  # [1, nq, dim]
+        qm = jnp.ones(qt.shape[:2], jnp.float32)
+        fine = xla_refine_rerank(
+            store.flat, store.res4, store.res_scales, store.offsets,
+            store.lengths, qt, qm, c8[None], store.max_len,
+            doc_scales=store.scales)[0]
+        return fine, c8
+
     # -- result assembly -----------------------------------------------------
 
     def _results(self, idx, with_payload: bool, **score_cols) -> List[Dict[str, Any]]:
@@ -544,6 +566,9 @@ class RetrievalEngine(EngineCommon):
         out = {"flat": flat, "offsets": store.offsets, "lengths": store.lengths}
         if scales is not None:
             out["scales"] = scales
+        if store.res4 is not None:  # int8+int4 two-pass refinement sidecar
+            out["res4"] = store.res4
+            out["res_scales"] = store.res_scales
         return out
 
     def _fused_stage1(self, stage1_mode: str):
@@ -586,6 +611,18 @@ class RetrievalEngine(EngineCommon):
             scores = self._score_store_pooled(self.experimental_vector_name, q["pooled"])
         else:  # pragma: no cover
             raise ValueError(mode)
+        store = self.index.store(self.full_vector_name)
+        if mode == "single_full" and getattr(store, "res4", None) is not None:
+            from visual_rag_tpu.parallel.sharded import _refine_window
+
+            rk = _refine_window(top_k, self.index.num_docs)
+            vals8, cand = self._topk_candidates(scores, rk, doc_mask)
+            rr, cand = self._maybe_refine(q["tokens"], cand, vals8, top_k)
+            k = max(1, min(int(top_k), int(cand.shape[0])))
+            vals, pos = jax.lax.top_k(rr, k)
+            idx = jnp.where(vals > NEG_INF / 2, cand[pos], -1)
+            return self._results(np.asarray(idx), with_payload,
+                                 score=np.asarray(vals))
         vals, idx = self._topk_candidates(scores, top_k, doc_mask)
         return self._results(np.asarray(idx), with_payload, score=np.asarray(vals))
 
@@ -597,6 +634,7 @@ class RetrievalEngine(EngineCommon):
         _, candidates = self._topk_candidates(
             s1_scores, prefetch_k, doc_mask, approx=self._approx_cut(prefetch_k))
         rr = self._rerank(q["tokens"], candidates)
+        rr, candidates = self._maybe_refine(q["tokens"], candidates, rr, top_k)
         k = max(1, min(int(top_k), int(candidates.shape[0])))
         vals, pos = jax.lax.top_k(rr, k)
         final_idx = jnp.where(vals > NEG_INF / 2, candidates[pos], -1)
@@ -621,6 +659,7 @@ class RetrievalEngine(EngineCommon):
                                       approx=self._approx_cut(stage2_k))
         # Stage 3: exact MaxSim on initial, restricted to stage-2 ids
         rr = self._rerank(q["tokens"], c2)
+        rr, c2 = self._maybe_refine(q["tokens"], c2, rr, top_k)
         k = max(1, min(int(top_k), int(c2.shape[0])))
         vals, pos = jax.lax.top_k(rr, k)
         final_idx = jnp.where(vals > NEG_INF / 2, c2[pos], -1)

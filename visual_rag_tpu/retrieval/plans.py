@@ -23,6 +23,8 @@ from visual_rag_tpu.parallel.sharded import (
     _gathered_tokens_padded,
     _local_rerank,
     _local_stage1,
+    _refine_topk,
+    _refine_window,
 )
 
 NEG_INF = -1e30
@@ -65,6 +67,11 @@ def single_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
     tokens, pooled = _prep_queries(tokens_raw, qmask)
     scores = _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
                            use_pallas)
+    if kind == "tokens_ragged" and ragged.get("res4") is not None:
+        # int8 two-pass: exhaustive int8 scan ranks a window, the int4
+        # residual re-scores it at 12-bit precision for the final cut
+        vals8, cand = _topk_masked(scores, _refine_window(k, ds), doc_mask)
+        return _refine_topk(ragged, tokens, qmask, cand, vals8, k, max_len)
     return _topk_masked(scores, k, doc_mask)  # final result: always exact
 
 
@@ -80,9 +87,7 @@ def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
     _, cand = _topk_masked(scores, pk, doc_mask, approx=approx)
     rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
                        impl=impl)
-    vals, pos = jax.lax.top_k(rr, k)
-    idx = jnp.where(vals > NEG_INF / 2, jnp.take_along_axis(cand, pos, axis=1), -1)
-    return vals, idx.astype(jnp.int32)
+    return _refine_topk(ragged, tokens, qmask, cand, rr, k, max_len)
 
 
 
@@ -107,9 +112,19 @@ def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
                    jnp.take_along_axis(c1, pos2, axis=1), -1).astype(jnp.int32)
     rr = _local_rerank(ragged, tokens, qmask, c2, max_len, use_pallas,
                        impl=impl)
-    vals, pos = jax.lax.top_k(rr, k)
-    idx = jnp.where(vals > NEG_INF / 2, jnp.take_along_axis(c2, pos, axis=1), -1)
+    if ragged.get("res4") is None:
+        vals, pos = jax.lax.top_k(rr, k)
+        idx = jnp.where(vals > NEG_INF / 2,
+                        jnp.take_along_axis(c2, pos, axis=1), -1)
+        s2_at = jnp.take_along_axis(v2, pos, axis=1)  # stage-2 scores at winners
+    else:
+        vals, idx = _refine_topk(ragged, tokens, qmask, c2, rr, k, max_len)
+        # winners come from the refine window, not c2 order: recover each
+        # winner's stage-2 score by position match in the candidate row
+        match = (c2[:, None, :] == idx[:, :, None]) & (idx[:, :, None] >= 0)
+        pos2 = jnp.argmax(match, axis=2)
+        s2_at = jnp.where(idx >= 0,
+                          jnp.take_along_axis(v2, pos2, axis=1), NEG_INF)
     fi = jnp.maximum(idx, 0)
-    s2_at = jnp.take_along_axis(v2, pos, axis=1)  # stage-2 scores at winners
     return (vals, idx.astype(jnp.int32),
             jnp.take_along_axis(s1, fi, axis=1), s2_at)
