@@ -57,7 +57,7 @@ BASELINE_QPS = 20.0  # reference two_stage.py:62-64 illustration (~50 ms/query)
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "270"))
 HARD_CAP_S = float(os.environ.get("BENCH_HARD_CAP_S", "550"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "3000"))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", "1024"))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", "2048"))
 # T0 survives re-execs (see _retry_fresh_process): the budget is wall-clock
 # from the FIRST attempt, not per attempt.
 T0 = float(os.environ.get("BENCH_T0", "0") or time.time())
@@ -160,10 +160,14 @@ def main():
         rng.standard_normal((int(rng.integers(8, 25)), 128)).astype(np.float32)
         for _ in range(N_QUERIES)
     ]
-    queries = all_queries[: N_QUERIES // 2]
+    queries = all_queries[: min(512, N_QUERIES)]
     bs = 256  # round-1-proven bucket: compile cache hot, ~100 ms/batch warm
     batches = [queries[s: s + bs] for s in range(0, len(queries), bs)]
     kw = dict(mode="two_stage", top_k=10, prefetch_k=200, with_payload=False)
+    # r4: the timed passes use the dense-array result path (return_arrays —
+    # vectorized manifest-id mapping, no per-hit dict assembly) and depth-2
+    # pipelining; the oracle below still exercises the classic dict path.
+    kwr = dict(kw, return_arrays=True)
 
     # warm (compile exactly the bench shapes; first execution also pays the
     # axon terminal claim) — don't record: compile/claim time isn't QPS
@@ -205,9 +209,9 @@ def main():
         if _elapsed() > 0.6 * BUDGET_S:
             break
         t0 = time.time()
-        # pipelined: batch i+1 dispatches before batch i's results are
-        # fetched, hiding the tunnel RTT (engine.search_embedded_batches)
-        for _res in engine.search_embedded_batches(batches * repeats, **kw):
+        # pipelined: batches dispatch ahead of result fetches, hiding the
+        # tunnel RTT (engine.search_embedded_batches, depth=2)
+        for _res in engine.search_embedded_batches(batches * repeats, **kwr):
             pass
         _record(repeats * len(queries) / (time.time() - t0))
 
@@ -216,29 +220,24 @@ def main():
     # host+tunnel work, so bigger batches amortize it). Each rung costs one
     # fresh plan compile; the 256 result above is the guaranteed floor either
     # way (watchdog emits best-so-far regardless).
-    if _elapsed() < 0.45 * BUDGET_S:
-        big = [queries]  # one 512-query batch
-        for _ in engine.search_embedded_batches(big * 2, **kw):  # warm
+    for frac_start, frac_stop, bs_rung in (
+            (0.45, 0.80, 512), (0.55, 0.85, 1024), (0.62, 0.90, 2048)):
+        if _elapsed() > frac_start * BUDGET_S:
+            continue
+        qs = all_queries[:bs_rung]
+        if len(qs) < bs_rung:  # cycle to fill the rung
+            qs = (qs * (bs_rung // len(qs) + 1))[:bs_rung]
+        rung = [qs]
+        n_rep = max(2, 8192 // bs_rung)
+        for _ in engine.search_embedded_batches(rung * 2, **kwr):  # warm
             pass
         for _ in range(2):
-            if _elapsed() > 0.8 * BUDGET_S:
+            if _elapsed() > frac_stop * BUDGET_S:
                 break
             t0 = time.time()
-            for _res in engine.search_embedded_batches(big * 8, **kw):
+            for _res in engine.search_embedded_batches(rung * n_rep, **kwr):
                 pass
-            _record(8 * len(queries) / (time.time() - t0))
-
-    if _elapsed() < 0.55 * BUDGET_S:
-        huge = [all_queries]  # one 1024-query batch
-        for _ in engine.search_embedded_batches(huge * 2, **kw):  # warm
-            pass
-        for _ in range(2):
-            if _elapsed() > 0.85 * BUDGET_S:
-                break
-            t0 = time.time()
-            for _res in engine.search_embedded_batches(huge * 8, **kw):
-                pass
-            _record(8 * len(all_queries) / (time.time() - t0))
+            _record(n_rep * bs_rung / (time.time() - t0))
     _emit()
 
 

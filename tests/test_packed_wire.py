@@ -1,0 +1,251 @@
+"""Group-packed query wire + packed kernels + bucketed exhaustive scan (r4).
+
+The packed wire (batch.pack_queries_grouped) ships only real query tokens
+(+<=10% group padding); plans reconstruct the padded [B, NQ, dim] view with
+one device scatter, so pooled-query modes and the rerank path are
+bit-identical to the padded wire. tokens_vs_* stage-1 and the exhaustive
+scan use the densely packed tokens directly (M dim = real tokens) — same
+math, different accumulation order, so score parity is asserted to 5e-5 on
+CPU f32.
+
+Reference behavior being preserved: search results across all modes
+(reference multi_vector.py:192-247); the packed wire is a TPU-side transport
+optimization only.
+"""
+
+import numpy as np
+import pytest
+
+from visual_rag_tpu.index.synth import synthetic_index
+from visual_rag_tpu.retrieval import RetrievalEngine
+from visual_rag_tpu.retrieval import batch as B
+
+DIM = 128
+
+
+def _queries(n, rng, lo=5, hi=25):
+    return [rng.standard_normal((int(rng.integers(lo, hi)), DIM)).astype(np.float32)
+            for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def small_index():
+    return synthetic_index(300, min_tokens=32, max_tokens=96, pooled_rows=4,
+                           storage_dtype="float32", seed=0)
+
+
+class TestPackQueriesGrouped:
+    def test_reconstruction_matches_padded(self):
+        rng = np.random.default_rng(1)
+        qs = _queries(64, rng)
+        tok_p, mask_p = B.pad_queries_raw(qs, DIM)
+        (packed, pos, qid), nq, rg = B.pack_queries_grouped(qs, DIM)
+        assert nq == tok_p.shape[1]
+        b = len(qs)
+        flat = np.zeros((b * nq, DIM), np.float32)
+        posn = np.asarray(pos)
+        sel = posn < b * nq
+        flat[posn[sel]] = np.asarray(packed)[sel]
+        np.testing.assert_array_equal(flat.reshape(b, nq, DIM), np.asarray(tok_p))
+        # qid row ownership: packed row g*rg+r belongs to query g*group+qid
+        qidn = np.asarray(qid)
+        g = qidn.shape[0]
+        group = b // g
+        for grp in range(g):
+            owners = qidn[grp][qidn[grp] >= 0]
+            # tokens of a group are packed query-major and contiguous
+            assert (np.diff(owners) >= 0).all()
+            counts = np.bincount(owners, minlength=group)
+            lens = [qs[grp * group + j].shape[0] for j in range(group)]
+            np.testing.assert_array_equal(counts, lens)
+
+    def test_pad_rows_are_zero_and_sentinel(self):
+        rng = np.random.default_rng(2)
+        qs = _queries(32, rng)
+        (packed, pos, qid), nq, rg = B.pack_queries_grouped(qs, DIM)
+        pn, posn, qidn = (np.asarray(x) for x in (packed, pos, qid))
+        pad_rows = qidn.reshape(-1) < 0
+        assert (pn[pad_rows] == 0).all()
+        assert (posn[pad_rows] == len(qs) * nq).all()
+
+    def test_fp16_wire_clips(self):
+        rng = np.random.default_rng(3)
+        qs = _queries(32, rng)
+        qs[0][0, 0] = 1e6  # would overflow fp16
+        (packed, pos, qid), nq, rg = B.pack_queries_grouped(
+            qs, DIM, wire_dtype=np.float16)
+        assert np.isfinite(np.asarray(packed).astype(np.float32)).all()
+
+
+class TestPackedEngineParity:
+    MODES = [("two_stage", dict(prefetch_k=50)),
+             ("two_stage", dict(prefetch_k=50, stage1_mode="tokens_vs_standard_pooling")),
+             ("two_stage", dict(prefetch_k=50, stage1_mode="tokens_vs_experimental_pooling")),
+             ("single_full", {}),
+             ("single_tiles", {}),
+             ("single_pooled", {}),
+             ("single_global", {}),
+             ("single_experimental_tokens", {}),
+             ("three_stage", dict(stage1_k=100, stage2_k=40))]
+
+    @pytest.mark.parametrize("mode,kw", MODES,
+                             ids=[f"{m}-{kw.get('stage1_mode','')}" for m, kw in MODES])
+    def test_mode_parity(self, small_index, mode, kw):
+        ep = RetrievalEngine(small_index, query_wire="padded")
+        ek = RetrievalEngine(small_index, query_wire="packed")
+        rng = np.random.default_rng(4)
+        qs = _queries(64, rng)
+        a = ep.search_embedded_batch(qs, mode=mode, top_k=5, with_payload=False, **kw)
+        b = ek.search_embedded_batch(qs, mode=mode, top_k=5, with_payload=False, **kw)
+        for ra, rb in zip(a, b):
+            sa = sorted(h["score_final"] for h in ra)
+            sb = sorted(h["score_final"] for h in rb)
+            np.testing.assert_allclose(sa, sb, atol=5e-5)
+            # scores this far apart cannot silently reorder: sets must agree
+            assert {h["id"] for h in ra} == {h["id"] for h in rb}
+
+    def test_pooled_stage1_bit_identical(self, small_index):
+        """pooled-query modes never touch the packed tokens: results must be
+        BIT-identical to the padded wire (reconstruction is exact)."""
+        ep = RetrievalEngine(small_index, query_wire="padded")
+        ek = RetrievalEngine(small_index, query_wire="packed")
+        rng = np.random.default_rng(5)
+        qs = _queries(32, rng)
+        a = ep.search_embedded_batch(qs, mode="two_stage", top_k=10,
+                                     prefetch_k=60, with_payload=False)
+        b = ek.search_embedded_batch(qs, mode="two_stage", top_k=10,
+                                     prefetch_k=60, with_payload=False)
+        for ra, rb in zip(a, b):
+            assert [h["id"] for h in ra] == [h["id"] for h in rb]
+            np.testing.assert_array_equal(
+                [h["score_final"] for h in ra], [h["score_final"] for h in rb])
+
+    def test_small_batch_falls_back_to_padded(self, small_index):
+        # auto wire only packs at B>=32; explicit packed works for any
+        # power-of-two bucket (group = min(32, B) divides B)
+        ek = RetrievalEngine(small_index, query_wire="packed")
+        rng = np.random.default_rng(6)
+        qs = _queries(3, rng)
+        out = ek.search_embedded_batch(qs, mode="two_stage", top_k=5,
+                                       prefetch_k=50, with_payload=False)
+        ref = [small_index] and RetrievalEngine(small_index).search_embedded_batch(
+            qs, mode="two_stage", top_k=5, prefetch_k=50, with_payload=False)
+        assert [[h["id"] for h in r] for r in out] == \
+               [[h["id"] for h in r] for r in ref]
+
+
+class TestBucketedExhaustive:
+    def test_buckets_bit_exact(self):
+        """Doc-length bucketing of the exhaustive scan is BIT-exact: per-doc
+        scores don't depend on chunking/bucket membership."""
+        idx = synthetic_index(4500, min_tokens=16, max_tokens=128,
+                              pooled_rows=4, storage_dtype="float32", seed=7)
+        eng = RetrievalEngine(idx)  # D >= 4096: buckets auto-enabled
+        store = idx.store("initial")
+        spec = B.make_exhaustive_buckets(np.asarray(store.lengths))
+        assert spec is not None and len(spec["sizes"]) > 1
+        assert sum(spec["sizes"]) == 4500
+        rng = np.random.default_rng(8)
+        qs = _queries(8, rng)
+        got = eng.search_embedded_batch(qs, mode="single_full", top_k=10,
+                                        with_payload=False)
+        # unbucketed reference: same engine machinery, buckets disabled
+        eng2 = RetrievalEngine(idx)
+        eng2._bucket_cache[eng2.full_vector_name] = (None, ())
+        want = eng2.search_embedded_batch(qs, mode="single_full", top_k=10,
+                                          with_payload=False)
+        for rg, rw in zip(got, want):
+            assert [h["id"] for h in rg] == [h["id"] for h in rw]
+            np.testing.assert_array_equal(
+                [h["score"] for h in rg], [h["score"] for h in rw])
+
+    def test_make_buckets_skips_small_or_uniform(self):
+        assert B.make_exhaustive_buckets(np.full(1000, 64)) is None  # small
+        assert B.make_exhaustive_buckets(np.full(8192, 64)) is None  # uniform
+
+    def test_bucket_geometry(self):
+        lens = np.concatenate([np.full(3000, 32), np.full(3000, 512)])
+        spec = B.make_exhaustive_buckets(lens)
+        assert spec is not None
+        assert sum(spec["sizes"]) == 6000
+        assert max(spec["max_lens"]) == 512
+        perm, inv = spec["perm"], spec["inv_perm"]
+        np.testing.assert_array_equal(perm[inv], np.arange(6000))
+
+
+class TestPackedKernelInterpret:
+    def test_packed_kernel_matches_xla(self):
+        """pooled_maxsim_scores_packed (interpret) == the packed XLA fallback
+        == the padded qbatch XLA path, on random padded stores."""
+        import jax.numpy as jnp
+
+        from visual_rag_tpu.ops.kernels.prefetch_topk import (
+            pooled_maxsim_scores_packed)
+        from visual_rag_tpu.parallel.sharded import (
+            _local_tokens_padded, _local_tokens_padded_packed)
+        from visual_rag_tpu.retrieval.plans import _prep_queries_packed
+
+        rng = np.random.default_rng(9)
+        p, d, dim = 4, 40, DIM
+        vals = rng.standard_normal((p, d, dim)).astype(np.float32)
+        mask = (rng.random((p, d)) > 0.2).astype(np.float32)
+        mask[:, 5] = 0.0  # one empty doc
+        qs = _queries(32, rng)
+        (packed, pos, qid), nq, rg = B.pack_queries_grouped(qs, dim)
+        tokens, qmask, pooled, pk = _prep_queries_packed(
+            jnp.asarray(packed), jnp.asarray(pos), jnp.asarray(qid),
+            len(qs), nq)
+        s1 = {"vals_t": jnp.asarray(vals), "mask_t": jnp.asarray(mask)}
+        want = np.asarray(_local_tokens_padded(s1, tokens, qmask, False))
+        got_xla = np.asarray(_local_tokens_padded_packed(
+            s1, pk["q"], pk["seg"], False))
+        np.testing.assert_allclose(got_xla, want, atol=2e-4, rtol=1e-4)
+        got_kernel = np.asarray(pooled_maxsim_scores_packed(
+            jnp.asarray(vals), jnp.asarray(mask), pk["q"], pk["seg"],
+            None, block_d=128, interpret=True))
+        np.testing.assert_allclose(got_kernel, want, atol=2e-4, rtol=1e-4)
+
+
+class TestReturnArraysAndDepth:
+    def test_return_arrays_matches_dicts(self, small_index):
+        eng = RetrievalEngine(small_index)
+        rng = np.random.default_rng(10)
+        qs = _queries(13, rng)
+        ref = eng.search_embedded_batch(qs, mode="two_stage", top_k=5,
+                                        prefetch_k=50, with_payload=False)
+        raw = eng.search_embedded_batch(qs, mode="two_stage", top_k=5,
+                                        prefetch_k=50, with_payload=False,
+                                        return_arrays=True)
+        assert raw.ids.shape == (13, 5)
+        for rd, ri, rs, rv in zip(ref, raw.ids, raw.scores, raw.valid):
+            assert [i for i, v in zip(ri, rv) if v] == [h["id"] for h in rd]
+            np.testing.assert_allclose(
+                [s for s, v in zip(rs, rv) if v],
+                [h["score_final"] for h in rd], atol=1e-6)
+        d2 = raw.to_dicts()
+        assert [[h["id"] for h in r] for r in d2] == \
+               [[h["id"] for h in r] for r in ref]
+
+    def test_return_arrays_rejects_payload(self, small_index):
+        eng = RetrievalEngine(small_index)
+        with pytest.raises(ValueError):
+            eng.search_embedded_batch([np.ones((4, DIM), np.float32)],
+                                      return_arrays=True, with_payload=True)
+
+    def test_depth_pipelining_parity(self, small_index):
+        eng = RetrievalEngine(small_index)
+        rng = np.random.default_rng(11)
+        qs = _queries(24, rng)
+        batches = [qs[i::3] for i in range(3)]
+        kw = dict(mode="two_stage", top_k=5, prefetch_k=50, with_payload=False)
+        seq = [eng.search_embedded_batch(b, **kw) for b in batches]
+        for depth in (1, 2, 4):
+            pip = list(eng.search_embedded_batches(batches, depth=depth, **kw))
+            assert [[[h["id"] for h in r] for r in x] for x in pip] == \
+                   [[[h["id"] for h in r] for r in x] for x in seq]
+
+    def test_empty_batch_arrays(self, small_index):
+        eng = RetrievalEngine(small_index)
+        out = eng.search_embedded_batch([], with_payload=False,
+                                        return_arrays=True)
+        assert len(out) == 0

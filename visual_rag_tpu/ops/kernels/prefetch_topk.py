@@ -109,6 +109,89 @@ def _kernel_qbatch(vals_ref, mask_ref, scales_ref, q_ref, qmask_ref, out_ref):
     out_ref[:] = jnp.sum(per_q3, axis=1)
 
 
+def _kernel_packed(vals_ref, mask_ref, scales_ref, q_ref, seg_ref, out_ref):
+    # Group-packed variant (VERDICT r3 #4): one query GROUP's tokens ride
+    # densely in [Rg, dim] (~10% pad rows vs ~50% masked rows in the padded
+    # [gq*NQ, dim] layout), so both the per-row matmul's M dim and the VPU
+    # max/mask work shrink ~1.8x. The per-query token sum runs as one
+    # [gq, Rg] x [Rg, BD] MXU matmul against the 0/1 ownership matrix.
+    # vals:  [P, BD, dim]   one doc block (f32/bf16/int8 codes)
+    # mask:  [P, BD]        f32 row validity
+    # scales:[P, BD]        f32 per-row dequant scales
+    # q:     [1, Rg, dim]   one group's packed l2-normalized tokens (0 pads)
+    # seg:   [1, gq, Rg]    f32 query-ownership weights
+    # out:   [1, gq, BD]
+    p, bd, dim = vals_ref.shape
+    rg = q_ref.shape[1]
+    q = q_ref[0]  # [Rg, dim]
+
+    def body(row, running):
+        sims = jax.lax.dot_general(
+            q, vals_ref[row].astype(q.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Rg, BD]
+        sims = sims * scales_ref[row][None, :]
+        valid = mask_ref[row] > 0
+        sims = jnp.where(valid[None, :], sims, NEG_INF)
+        return jnp.maximum(running, sims)
+
+    running = jax.lax.fori_loop(
+        0, p, body, jnp.full((rg, bd), NEG_INF, dtype=jnp.float32))
+    has_rows = jnp.max(mask_ref[:], axis=0, keepdims=True) > 0  # [1, BD]
+    per_tok = jnp.where(has_rows, running, 0.0)  # [Rg, BD]
+    # pad token rows carry q=0 -> sims=0 (or NEG_INF->0) but seg weight 0
+    out_ref[0] = jax.lax.dot_general(
+        seg_ref[0], per_tok,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [gq, BD]
+
+
+@functools.partial(jax.jit, static_argnames=("block_d", "interpret"))
+def pooled_maxsim_scores_packed(
+    values_t: jnp.ndarray,  # [P, D, dim] P-leading
+    mask_t: jnp.ndarray,  # [P, D]
+    qpacked: jnp.ndarray,  # [G*Rg, dim] l2-normalized packed tokens
+    seg: jnp.ndarray,  # [G, gq, Rg] 0/1 ownership
+    scales_t: jnp.ndarray | None = None,
+    block_d: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Group-packed stage-1 scores [B, D] (B = G*gq); grid (G, doc blocks)."""
+    p, d, dim = values_t.shape
+    g, gq, rg = seg.shape
+    mask_t = jnp.asarray(mask_t, jnp.float32)
+    if scales_t is None:
+        scales_t = jnp.ones((p, d), jnp.float32)
+    scales_t = jnp.asarray(scales_t, jnp.float32)
+    n_blocks = int(pl.cdiv(d, block_d))
+    d_pad = n_blocks * block_d
+    if d_pad != d:
+        values_t = jnp.pad(values_t, ((0, 0), (0, d_pad - d), (0, 0)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, d_pad - d)))
+        scales_t = jnp.pad(scales_t, ((0, 0), (0, d_pad - d)))
+    q_dtype = jnp.bfloat16 if values_t.dtype == jnp.int8 else values_t.dtype
+    qp = qpacked.reshape(g, rg, dim).astype(q_dtype)
+    seg = jnp.asarray(seg, jnp.float32)
+    out = pl.pallas_call(
+        _kernel_packed,
+        grid=(g, n_blocks),
+        in_specs=[
+            pl.BlockSpec((p, block_d, dim), lambda gi, i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, block_d), lambda gi, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, block_d), lambda gi, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rg, dim), lambda gi, i: (gi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gq, rg), lambda gi, i: (gi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, gq, block_d), lambda gi, i: (gi, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, gq, d_pad), jnp.float32),
+        interpret=interpret,
+    )(values_t, mask_t, scales_t, qp, seg)
+    return out.reshape(g * gq, d_pad)[:, :d]
+
+
 def auto_block_d(p: int, itemsize: int, dim: int = 128) -> int:
     """Largest doc-block lane width keeping the streamed store block under
     ~6 MB VMEM (the q-chunked running buffers take another ~4-8 MB).

@@ -49,6 +49,7 @@ from visual_rag_tpu.ops.kernels.maxsim_sweep import (
 )
 from visual_rag_tpu.ops.kernels.prefetch_topk import (
     auto_block_d,
+    pooled_maxsim_scores_packed,
     pooled_maxsim_scores_qbatch,
 )
 from visual_rag_tpu.retrieval import batch as BATCH
@@ -462,23 +463,85 @@ def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
         tokens, qmask, cand, max_len, scales=scales)
 
 
-def _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas):
+def _local_tokens_padded_packed(s1, qpacked, seg, use_pallas):
+    """Group-packed tokens-vs-padded stage-1 (VERDICT r3 #4): the packed
+    [G*Rg, dim] token layout carries ~10% pad rows instead of the padded
+    layout's ~50% masked rows, cutting both matmul M-dim and VPU work."""
+    vals_t, mask_t = s1["vals_t"], s1["mask_t"]
+    scales_t = s1.get("scales_t")
+    if use_pallas:
+        return pooled_maxsim_scores_packed(
+            vals_t, mask_t, qpacked, seg, scales_t,
+            block_d=auto_block_d(int(vals_t.shape[0]), vals_t.dtype.itemsize,
+                                 int(vals_t.shape[-1])))
+    g, gq, rg = seg.shape
+    cd = _compute_dtype_for(vals_t)
+    sims = jnp.einsum("md,pnd->mpn", qpacked.astype(cd), vals_t.astype(cd),
+                      preferred_element_type=jnp.float32)
+    if scales_t is not None:
+        sims = sims * scales_t[None, :, :]
+    sims = jnp.where(mask_t[None, :, :] > 0, sims, NEG_INF)
+    per_tok = jnp.max(sims, axis=1)  # [G*Rg, D]
+    has = jnp.max(mask_t, axis=0) > 0
+    per_tok = jnp.where(has[None, :], per_tok, 0.0)
+    out = jnp.einsum("gqr,grn->gqn", jnp.asarray(seg, jnp.float32),
+                     per_tok.reshape(g, rg, -1),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(g * gq, -1)
+
+
+def _exhaustive_chunk(b_rows, max_len):
+    return max(2, min(32, int(128e6 // max(1, b_rows * max_len * 4))))
+
+
+def _local_tokens_ragged(ragged, tokens, qmask, packed, max_len,
+                         bucket_lens=()):
+    """Full exact scan, DOC-MAJOR: each doc chunk is gathered once and
+    scored against the whole query batch as one MXU-sized matmul (the
+    per-(query,doc) rerank path re-gathers every doc B times and runs at
+    ~12% MXU; this formulation measured ~4x faster). Two r4 refinements
+    (VERDICT #3): group-packed queries (M dim = real tokens, not B*NQ) and
+    static doc-length buckets (each scanned at its own max_len; bit-exact).
+    """
+    scales = ragged.get("scales")
+    if packed is not None:
+        b_rows = packed["q"].shape[0]
+
+        def scan(offs, lens, sc, ml):
+            return BATCH.xla_exhaustive_packed(
+                ragged["flat"], offs, lens, packed["q"], packed["seg"], ml,
+                scales=sc, chunk=_exhaustive_chunk(b_rows, ml))
+    else:
+        b_rows = tokens.shape[0] * tokens.shape[1]
+
+        def scan(offs, lens, sc, ml):
+            return BATCH.xla_exhaustive_batch(
+                ragged["flat"], offs, lens, tokens, qmask, ml,
+                scales=sc, chunk=_exhaustive_chunk(b_rows, ml))
+
+    buckets = ragged.get("buckets")
+    if buckets is not None and bucket_lens:
+        outs = [scan(offs_i, lens_i, sc_i, ml_i)
+                for (offs_i, lens_i, sc_i), ml_i in zip(buckets, bucket_lens)]
+        scores_perm = jnp.concatenate(outs, axis=1)  # [B, D] in perm order
+        return jnp.take(scores_perm, ragged["inv_perm"], axis=1)
+    return scan(ragged["offsets"], ragged["lengths"], scales, max_len)
+
+
+def _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
+                  use_pallas, packed=None, bucket_lens=()):
     if kind == "tokens_padded":
+        if packed is not None:
+            return _local_tokens_padded_packed(s1, packed["q"], packed["seg"],
+                                               use_pallas)
         return _local_tokens_padded(s1, tokens, qmask, use_pallas)
     if kind == "pooled_padded":
         return _local_pooled_padded(s1, pooled)
     if kind == "pooled_single":
         return _local_pooled_single(s1, pooled)
     if kind == "tokens_ragged":
-        # Full exact scan, DOC-MAJOR: each doc chunk is gathered once and
-        # scored against the whole query batch as one MXU-sized matmul
-        # (the per-(query,doc) rerank path re-gathers every doc B times and
-        # runs at ~12% MXU; this formulation measured ~4x faster).
-        b, nq = tokens.shape[0], tokens.shape[1]
-        chunk = max(2, min(32, int(128e6 // max(1, b * nq * max_len * 4))))
-        return BATCH.xla_exhaustive_batch(
-            ragged["flat"], ragged["offsets"], ragged["lengths"],
-            tokens, qmask, max_len, scales=ragged.get("scales"), chunk=chunk)
+        return _local_tokens_ragged(ragged, tokens, qmask, packed, max_len,
+                                    bucket_lens=bucket_lens)
     raise ValueError(kind)
 
 
@@ -839,23 +902,29 @@ class ShardedEngine(EngineCommon):
         stage2_k: Optional[int] = None,
         filter_obj: Optional[PayloadFilter] = None,
         with_payload: bool = True,
+        return_arrays: bool = False,
     ) -> List[List[Dict[str, Any]]]:
         return self._finish_batch(self._dispatch_batch(
             query_embeddings, mode=mode, top_k=top_k, prefetch_k=prefetch_k,
             stage1_mode=stage1_mode, stage1_k=stage1_k, stage2_k=stage2_k,
-            filter_obj=filter_obj, with_payload=with_payload))
+            filter_obj=filter_obj, with_payload=with_payload,
+            return_arrays=return_arrays))
 
-    def search_embedded_batches(self, query_batches, **search_kwargs):
-        """Depth-1 pipelined batches (mirrors RetrievalEngine): dispatch
-        batch i+1 before fetching batch i's replicated outputs."""
-        prev = None
+    def search_embedded_batches(self, query_batches, depth: int = 2,
+                                **search_kwargs):
+        """Pipelined batches (mirrors RetrievalEngine): dispatch up to
+        ``depth`` batches ahead before fetching batch i's replicated
+        outputs."""
+        from collections import deque
+
+        depth = max(1, int(depth))
+        pend = deque()
         for qb in query_batches:
-            cur = self._dispatch_batch(qb, **search_kwargs)
-            if prev is not None:
-                yield self._finish_batch(prev)
-            prev = cur
-        if prev is not None:
-            yield self._finish_batch(prev)
+            pend.append(self._dispatch_batch(qb, **search_kwargs))
+            if len(pend) > depth:
+                yield self._finish_batch(pend.popleft())
+        while pend:
+            yield self._finish_batch(pend.popleft())
 
     def _dispatch_batch(
         self,
@@ -868,12 +937,16 @@ class ShardedEngine(EngineCommon):
         stage2_k: Optional[int] = None,
         filter_obj: Optional[PayloadFilter] = None,
         with_payload: bool = True,
+        return_arrays: bool = False,
     ):
         if mode not in SEARCH_MODES:
             raise ValueError(f"Unknown mode: {mode}. Choose one of {SEARCH_MODES}")
+        if return_arrays and with_payload:
+            raise ValueError("return_arrays=True requires with_payload=False")
         si = self.sindex
         if si.num_docs == 0 or not len(query_embeddings):
-            return ("empty", len(query_embeddings), with_payload, {})
+            return ("empty", len(query_embeddings), with_payload,
+                    return_arrays, {})
         dim = next(iter(si.stores.values()))
         dim = list(dim.values())[0].shape[-1]
         wire = np.float16 if jax.default_backend() == "tpu" else np.float32
@@ -891,7 +964,7 @@ class ShardedEngine(EngineCommon):
                 lambda: self._plan_single(kind, k))
             vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
             return ("done", len(query_embeddings), with_payload,
-                    {"ids": ids, "score": vals})
+                    return_arrays, {"ids": ids, "score": vals})
 
         if mode == "two_stage":
             if prefetch_k is None:
@@ -907,6 +980,7 @@ class ShardedEngine(EngineCommon):
                 lambda: self._plan_two_stage(kind, pk, k, impl=ri))
             vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
             return ("done", len(query_embeddings), with_payload,
+                    return_arrays,
                     {"ids": ids, "score_stage2": vals, "score_final": vals})
 
         s1k = max(1, min(int(stage1_k or 1000), d))
@@ -921,14 +995,24 @@ class ShardedEngine(EngineCommon):
             si.stores[self.global_vector_name],
             si.stores[self.experimental_vector_name],
             ragged, mask, tokens, qmask)
-        return ("done", len(query_embeddings), with_payload,
+        return ("done", len(query_embeddings), with_payload, return_arrays,
                 {"ids": ids, "score_stage3": vals, "score_final": vals,
                  "score_stage1": s1_at, "score_stage2": s2_at})
 
-    def _finish_batch(self, pending) -> List[List[Dict[str, Any]]]:
-        tag, n, with_payload, arrays = pending
+    def _finish_batch(self, pending):
+        tag, n, with_payload, return_arrays, arrays = pending
         if tag == "empty":
+            if return_arrays:
+                import numpy as _np
+                from visual_rag_tpu.retrieval.engine import BatchResultArrays
+                z = _np.zeros((n, 0))
+                return BatchResultArrays(
+                    ids=z.astype(object), scores=z.astype(_np.float32),
+                    valid=z.astype(bool), indices=z.astype(_np.int32))
             return [[] for _ in range(n)]
+        if return_arrays:
+            return self._finish_arrays(self.sindex.manifest, n, arrays,
+                                       idx_key="ids")
         ids = arrays.pop("ids")
         return self._assemble(ids, with_payload, **arrays)
 

@@ -64,29 +64,94 @@ def pad_queries(queries: Sequence[np.ndarray], dim: int, eps: float = 1e-8):
     return jax.device_put((tokens, mask, pooled))
 
 
+def _flat_positions(lens: np.ndarray, stride: int) -> np.ndarray:
+    """Row positions of each query's tokens inside a [B*stride, dim] padded
+    buffer: query i occupies rows i*stride .. i*stride+lens[i)."""
+    total = int(lens.sum())
+    ends = np.cumsum(lens)
+    # within-query token ranks 0..len_i-1, fully vectorized
+    ranks = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+    return np.repeat(np.arange(len(lens), dtype=np.int64) * stride, lens) + ranks
+
+
 def pad_queries_raw(queries: Sequence[np.ndarray], dim: int,
                     wire_dtype=np.float32):
     """Ragged [nq_i, dim] queries -> (raw tokens [B,NQ,dim] in ``wire_dtype``,
     qmask [B,NQ] f32) with NO host-side math — normalization and query
     pooling run inside the fused plans (plans._prep_queries), so the host
-    loop is plain copies and the wire can be fp16 (halves the transfer)."""
+    work is plain copies and the wire can be fp16 (halves the transfer).
+
+    Fully vectorized (VERDICT r3 #6): one np.concatenate + one dtype cast +
+    one fancy-index scatter instead of a per-query python copy loop — the
+    per-batch host pad cost was a visible slice of the per-dispatch budget
+    at B=1024 on this 1-core host (numpy vectorization is the same win the
+    suggested OpenMP C loop would buy on a 1-core machine)."""
     b = len(queries)
-    nq_max = max((int(np.asarray(q).shape[0]) for q in queries), default=1)
-    nq = round_up(max(nq_max, 8), 8)  # sublane-aligned for the kernels
-    tokens = np.zeros((b, nq, dim), dtype=wire_dtype)
-    mask = np.zeros((b, nq), dtype=np.float32)
+    qs = [np.atleast_2d(np.asarray(q)) for q in queries]
+    lens = np.fromiter((q.shape[0] for q in qs), dtype=np.int64, count=b)
+    nq = round_up(max(int(lens.max()) if b else 1, 8), 8)  # sublane-aligned
+    cat = np.concatenate(qs, axis=0) if b else np.zeros((0, dim), np.float32)
     # raw (unnormalized) values beyond the fp16 range would overflow to inf
-    # on the wire and poison that query's normalization; the clip is free in
-    # the host copy loop and a no-op for in-range embeddings
-    lim = float(np.finfo(np.float16).max) if wire_dtype == np.float16 else None
-    for i, q in enumerate(queries):
-        q = np.asarray(q)
-        if q.ndim == 1:
-            q = q[None, :]
-        t = q.shape[0]
-        tokens[i, :t] = q if lim is None else np.clip(q, -lim, lim)
-        mask[i, :t] = 1.0
-    return jax.device_put((tokens, mask))
+    # on the wire and poison that query's normalization; the clip is a no-op
+    # for in-range embeddings
+    if wire_dtype == np.float16:
+        lim = float(np.finfo(np.float16).max)
+        cat = np.clip(cat, -lim, lim)
+    cat = cat.astype(wire_dtype, copy=False)
+    pos = _flat_positions(lens, nq)
+    tokens = np.zeros((b * nq, dim), dtype=wire_dtype)
+    tokens[pos] = cat
+    mask = np.zeros((b * nq,), dtype=np.float32)
+    mask[pos] = 1.0
+    return jax.device_put((tokens.reshape(b, nq, dim), mask.reshape(b, nq)))
+
+
+def pack_queries_grouped(queries: Sequence[np.ndarray], dim: int,
+                         wire_dtype=np.float32, group: int = 32):
+    """Group-packed query wire (VERDICT r3 #3/#4/#6): queries are packed
+    densely in groups of ``group``, each group padded to the max group token
+    SUM (rounded to 128) instead of every query padded to the max token
+    count.
+
+    For 8-24-token queries padded to NQ=32 the padded wire is ~50% zeros;
+    the packed wire cuts both the host->device transfer and — via the packed
+    stage-1 kernels — the MXU M-dim padding waste to ~10%.
+
+    Returns ``((packed [G*Rg, dim] wire, pos [G*Rg] int32, qid [G, Rg]
+    int32), nq, rg)`` where ``pos`` maps each packed row into the classic
+    [B*NQ] padded layout (B*NQ on pad rows -> dropped by the device
+    scatter), and ``qid`` is the in-group query index (-1 on pad rows).
+    """
+    b = len(queries)
+    group = min(group, b)
+    if b % group:
+        raise ValueError(f"batch {b} not divisible by group {group}")
+    qs = [np.atleast_2d(np.asarray(q)) for q in queries]
+    lens = np.fromiter((q.shape[0] for q in qs), dtype=np.int64, count=b)
+    nq = round_up(max(int(lens.max()) if b else 1, 8), 8)
+    g = b // group
+    lg = lens.reshape(g, group)
+    start_wg = np.cumsum(lg, axis=1) - lg  # exclusive in-group start
+    # Rg in steps of 128 so the plan cache sees few distinct packed shapes
+    rg = round_up(max(int(lg.sum(axis=1).max()), 8), 128)
+    cat = np.concatenate(qs, axis=0) if b else np.zeros((0, dim), np.float32)
+    if wire_dtype == np.float16:
+        lim = float(np.finfo(np.float16).max)
+        cat = np.clip(cat, -lim, lim)
+    cat = cat.astype(wire_dtype, copy=False)
+    total = int(lens.sum())
+    ends = np.cumsum(lens)
+    ranks = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+    qidx = np.repeat(np.arange(b, dtype=np.int64), lens)
+    packed_pos = (qidx // group) * rg + np.repeat(start_wg.ravel(), lens) + ranks
+    padded_pos = qidx * nq + ranks
+    packed = np.zeros((g * rg, dim), dtype=wire_dtype)
+    packed[packed_pos] = cat
+    pos = np.full((g * rg,), b * nq, dtype=np.int32)  # b*nq = drop sentinel
+    pos[packed_pos] = padded_pos.astype(np.int32)
+    qid = np.full((g * rg,), -1, dtype=np.int32)
+    qid[packed_pos] = (qidx % group).astype(np.int32)
+    return jax.device_put((packed, pos, qid.reshape(g, rg))), nq, rg
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +278,108 @@ def xla_exhaustive_batch(
         (oi, li, si))  # [n_chunks, B, chunk]
     res = jnp.moveaxis(res, 0, 1).reshape(b, n_chunks * chunk)
     return res[:, :d]
+
+
+@partial(jax.jit, static_argnames=("max_len", "chunk"))
+def xla_exhaustive_packed(
+    flat, offsets, lengths, qpacked, seg, max_len: int,
+    scales=None, chunk: int = 16,
+):
+    """[B, D] EXACT MaxSim, doc-major, with GROUP-PACKED queries.
+
+    Same doc-major formulation as :func:`xla_exhaustive_batch`, but the
+    query side is the dense packed layout from :func:`pack_queries_grouped`:
+    ``qpacked`` [G*Rg, dim] l2-normalized tokens (zero pad rows), ``seg``
+    [G, gq, Rg] 0/1 query-ownership weights. The big matmul's M dim is the
+    real token count (+<=10% group padding) instead of B*NQ with ~50% masked
+    rows, and the per-query token sum becomes one [gq, Rg] x [Rg, chunk]
+    MXU matmul per group — the VERDICT r3 #3 M-packing lever (proven by the
+    maxsim_sweep kernel) applied to the exhaustive scan.
+    """
+    cd = flat.dtype if flat.dtype != jnp.int8 else jnp.bfloat16
+    g, gq, rg = seg.shape
+    d = offsets.shape[0]
+    n_chunks = -(-d // chunk)
+    pad = n_chunks * chunk - d
+    offs_p = jnp.pad(offsets, (0, pad)) if pad else offsets
+    lens_p = jnp.pad(lengths, (0, pad)) if pad else lengths
+    scales_p = None
+    if scales is not None:
+        scales_p = jnp.pad(scales, (0, pad), constant_values=1.0) if pad else scales
+    q2 = qpacked.astype(cd)  # [G*Rg, dim]
+    seg_c = seg.astype(jnp.float32)
+
+    def one(args):
+        offs_c, lens_c, scales_c = args  # [chunk]
+        idx = offs_c[:, None] + jnp.arange(max_len, dtype=jnp.int32)[None, :]
+        idx = jnp.clip(idx, 0, flat.shape[0] - 1)
+        docs = flat[idx]  # [chunk, T, dim] — gathered ONCE for all queries
+        sims = jax.lax.dot_general(
+            q2, docs.reshape(chunk * max_len, -1).astype(cd),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(g * rg, chunk, max_len)
+        tmask = (jnp.arange(max_len, dtype=jnp.int32)[None, :]
+                 < lens_c[:, None])  # [chunk, T]
+        sims = jnp.where(tmask[None], sims, NEG_INF)
+        per_tok = jnp.max(sims, axis=2)  # [G*Rg, chunk]
+        has = lens_c > 0
+        per_tok = jnp.where(has[None, :], per_tok, 0.0)
+        out = jax.lax.dot_general(  # per-query token sum on the MXU
+            seg_c, per_tok.reshape(g, rg, chunk),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(g * gq, chunk)
+        if scales_c is not None:
+            out = out * scales_c[None, :]
+        return jnp.where(has[None, :], out, NEG_INF)
+
+    oi = offs_p.reshape(n_chunks, chunk)
+    li = lens_p.reshape(n_chunks, chunk)
+    si = (li if scales_p is None else scales_p.reshape(n_chunks, chunk))
+    res = jax.lax.map(
+        lambda a: one((a[0], a[1], a[2] if scales_p is not None else None)),
+        (oi, li, si))  # [n_chunks, B, chunk]
+    res = jnp.moveaxis(res, 0, 1).reshape(g * gq, n_chunks * chunk)
+    return res[:, :d]
+
+
+def make_exhaustive_buckets(lengths: np.ndarray, n_buckets: int = 4,
+                            align: int = 32, min_docs: int = 4096,
+                            min_saving: float = 0.10):
+    """Static doc-length buckets for the exhaustive scan (VERDICT r3 #3).
+
+    The doc-major scan pads every doc to the global max_len; with 320-832
+    token corpora ~30% of the MXU work is padding. Sorting docs into a few
+    length buckets (each scanned at its own max_len) removes most of it and
+    is BIT-EXACT — per-doc scores don't depend on which chunk a doc rides in.
+
+    Returns None when not worthwhile, else a dict with ``perm`` / ``inv_perm``
+    (numpy int32) and per-bucket ``sizes`` / ``max_lens`` tuples.
+    """
+    lengths = np.asarray(lengths)
+    d = int(lengths.shape[0])
+    if d < min_docs:
+        return None
+    ml = ((np.maximum(lengths, 1) + align - 1) // align) * align
+    order = np.argsort(ml, kind="stable").astype(np.int32)
+    sml = ml[order]
+    global_area = int(sml[-1]) * d
+    edges = [int(q * d) for q in (0.25, 0.5, 0.75)][: max(0, n_buckets - 1)]
+    bounds = sorted(set(e for e in edges if 0 < e < d)) + [d]
+    sizes, max_lens, area = [], [], 0
+    lo = 0
+    for hi in bounds:
+        sizes.append(hi - lo)
+        max_lens.append(int(sml[hi - 1]))
+        area += int(sml[hi - 1]) * (hi - lo)
+        lo = hi
+    if global_area - area < min_saving * global_area:
+        return None
+    inv = np.empty_like(order)
+    inv[order] = np.arange(d, dtype=np.int32)
+    return {"perm": order, "inv_perm": inv,
+            "sizes": tuple(sizes), "max_lens": tuple(max_lens)}
 
 
 @partial(jax.jit, static_argnames=("max_len", "chunk", "compute_dtype"))

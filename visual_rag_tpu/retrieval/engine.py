@@ -48,6 +48,41 @@ from visual_rag_tpu.retrieval.scoring import (
 
 logger = logging.getLogger(__name__)
 
+
+class BatchResultArrays:
+    """Dense batched results: the zero-copy serving fast path.
+
+    ``ids`` is an object array [B, K] of manifest point ids (None where a row
+    has fewer than K valid hits), ``scores`` [B, K] f32, ``valid`` [B, K]
+    bool, ``indices`` [B, K] int32 internal doc indices (-1 invalid). Mapping
+    internal indices to manifest ids is one vectorized numpy fancy-index —
+    per-hit python dict assembly (the reference returns Qdrant ScoredPoint
+    objects per hit, run_qdrant_beir.py:392-401) was the single largest
+    host cost per batch at B>=1024 on this 1-core host. ``to_dicts()``
+    materializes the classic List[List[dict]] lazily when a consumer needs
+    it."""
+
+    __slots__ = ("ids", "scores", "valid", "indices")
+
+    def __init__(self, ids, scores, valid, indices):
+        self.ids = ids
+        self.scores = scores
+        self.valid = valid
+        self.indices = indices
+
+    def __len__(self):
+        return len(self.ids)
+
+    def to_dicts(self) -> List[List[Dict[str, Any]]]:
+        ids_l = self.ids.tolist()
+        sc_l = self.scores.tolist()
+        va_l = self.valid.tolist()
+        return [
+            [{"id": i, "rank": r, "score": s, "score_final": s}
+             for r, (i, s, v) in enumerate(zip(row_i, row_s, row_v)) if v]
+            for row_i, row_s, row_v in zip(ids_l, sc_l, va_l)
+        ]
+
 STAGE1_MODES = (
     "pooled_query_vs_standard_pooling",
     "tokens_vs_standard_pooling",
@@ -123,6 +158,33 @@ class EngineCommon:
         """(rows, max_len, nq_hint, dim, itemsize) of the full token store."""
         raise NotImplementedError
 
+    _ids_cache: Optional[tuple] = None
+
+    def _ids_object_array(self, manifest) -> np.ndarray:
+        """Manifest ids as a cached object ndarray (enables one fancy-index
+        id mapping per batch instead of a per-hit python loop)."""
+        ver = getattr(manifest, "version", 0)
+        if self._ids_cache is None or self._ids_cache[0] != ver:
+            arr = np.empty(len(manifest.ids), dtype=object)
+            arr[:] = manifest.ids
+            self._ids_cache = (ver, arr)
+        return self._ids_cache[1]
+
+    def _finish_arrays(self, manifest, n_real: int, arrays,
+                       idx_key: str = "idx") -> "BatchResultArrays":
+        idx = np.asarray(arrays[idx_key])[:n_real]
+        primary = arrays.get("score_final")
+        if primary is None:
+            primary = arrays["score"]
+        scores = np.asarray(primary)[:n_real]
+        num_docs = len(manifest.ids)
+        valid = (idx >= 0) & (idx < num_docs) & (scores > NEG_INF / 2)
+        safe = np.where(valid, idx, 0)
+        ids = self._ids_object_array(manifest)[safe]
+        ids[~valid] = None
+        return BatchResultArrays(ids=ids, scores=scores, valid=valid,
+                                 indices=np.where(valid, idx, -1))
+
     def _cut_corpus_size(self) -> int:
         raise NotImplementedError
 
@@ -187,6 +249,7 @@ class RetrievalEngine(EngineCommon):
         rerank_chunk: int = 256,
         stage1_cut: str = "auto",
         rerank_impl: str = "auto",
+        query_wire: str = "auto",
     ):
         self.index = index
         self.full_vector_name = full_vector_name
@@ -204,6 +267,20 @@ class RetrievalEngine(EngineCommon):
             raise ValueError(
                 f"rerank_impl must be auto|plain|dedup|sweep, got {rerank_impl}")
         self.rerank_impl = rerank_impl
+        import os as _os
+
+        query_wire = _os.environ.get("VISUALRAG_QUERY_WIRE", query_wire)
+        if query_wire not in ("auto", "padded", "packed"):
+            raise ValueError(
+                f"query_wire must be auto|padded|packed, got {query_wire}")
+        # auto = packed on TPU at serving batch sizes. Group-packing reorders
+        # the stage-1 token-sum accumulation for tokens_vs_* modes and the
+        # exhaustive scan, so CPU f32 (where tests pin bit-exact rank
+        # equality between two_stage(prefetch>=corpus) and single_full)
+        # defaults to the padded wire; on TPU bf16 the documented rounding
+        # tolerance already covers it.
+        self.query_wire = query_wire
+        self._bucket_cache: Dict[str, Any] = {}
         self._batch_scorer = None
         self._mask_cache: Dict[Any, jnp.ndarray] = {}
         from visual_rag_tpu.utils.cache import enable_compilation_cache
@@ -426,6 +503,7 @@ class RetrievalEngine(EngineCommon):
         stage2_k: Optional[int] = None,
         filter_obj: Optional[PayloadFilter] = None,
         with_payload: bool = True,
+        return_arrays: bool = False,
     ) -> List[List[Dict[str, Any]]]:
         """Batched search: list of [nq_i, dim] queries -> list of result lists.
 
@@ -434,27 +512,37 @@ class RetrievalEngine(EngineCommon):
         runs as a single fused Pallas pass over the store, stage-2 reranks
         all candidates with the fused MaxSim kernel. Results are identical to
         per-query :meth:`search_embedded`.
+
+        ``return_arrays=True`` returns a :class:`BatchResultArrays` (dense
+        [B, K] manifest-id/score arrays, one vectorized id mapping, no
+        per-hit dict assembly) — the serving fast path; incompatible with
+        ``with_payload``.
         """
         pending = self._dispatch_batch(
             query_embeddings, mode=mode, top_k=top_k, prefetch_k=prefetch_k,
             stage1_mode=stage1_mode, stage1_k=stage1_k, stage2_k=stage2_k,
-            filter_obj=filter_obj, with_payload=with_payload)
+            filter_obj=filter_obj, with_payload=with_payload,
+            return_arrays=return_arrays)
         return self._finish_batch(pending)
 
-    def search_embedded_batches(self, query_batches, **search_kwargs):
-        """Pipelined fused batches: dispatch batch i+1 BEFORE fetching batch
-        i's results, hiding the dispatch/transfer round-trip behind device
-        compute (the same 1-deep pipeline the image-embedding path uses).
-        Yields one result list per input batch, in order.
+    def search_embedded_batches(self, query_batches, depth: int = 2,
+                                **search_kwargs):
+        """Pipelined fused batches: dispatch up to ``depth`` batches ahead
+        BEFORE fetching batch i's results, hiding the dispatch/transfer
+        round-trip behind device compute (depth=1 is the round-2 design;
+        depth=2 also hides the result-fetch RTT of batch i behind batch
+        i+1's device time). Yields one result list per input batch, in order.
         """
-        prev = None
+        from collections import deque
+
+        depth = max(1, int(depth))
+        pend = deque()
         for qb in query_batches:
-            cur = self._dispatch_batch(qb, **search_kwargs)
-            if prev is not None:
-                yield self._finish_batch(prev)
-            prev = cur
-        if prev is not None:
-            yield self._finish_batch(prev)
+            pend.append(self._dispatch_batch(qb, **search_kwargs))
+            if len(pend) > depth:
+                yield self._finish_batch(pend.popleft())
+        while pend:
+            yield self._finish_batch(pend.popleft())
 
     def _dispatch_batch(
         self,
@@ -467,6 +555,7 @@ class RetrievalEngine(EngineCommon):
         stage2_k: Optional[int] = None,
         filter_obj: Optional[PayloadFilter] = None,
         with_payload: bool = True,
+        return_arrays: bool = False,
     ):
         """Enqueue one fused plan; returns a pending record (device arrays
         not yet fetched) for :meth:`_finish_batch`."""
@@ -475,8 +564,11 @@ class RetrievalEngine(EngineCommon):
 
         if mode not in SEARCH_MODES:
             raise ValueError(f"Unknown mode: {mode}. Choose one of {SEARCH_MODES}")
+        if return_arrays and with_payload:
+            raise ValueError("return_arrays=True requires with_payload=False")
         if self.index.num_docs == 0 or not len(query_embeddings):
-            return ("empty", len(query_embeddings), with_payload, {})
+            return ("empty", len(query_embeddings), with_payload,
+                    return_arrays, {})
         # Bucket B so varying batch sizes (dynamic batching, ragged last
         # batches) reuse compiled plans instead of recompiling per B — the
         # fused plan is shape-specialized in B. Padding rows duplicate query
@@ -490,15 +582,25 @@ class RetrievalEngine(EngineCommon):
         dim = next(iter(self.index.stores.values())).dim
         # fp16 wire on TPU halves the host->device transfer; plans normalize
         # in f32 on device, so only the raw token rounding differs (<=1e-3)
+        use_pallas = self.batch_scorer.use_pallas
         wire = np.float16 if jax.default_backend() == "tpu" else np.float32
-        tokens, qmask_f = B.pad_queries_raw(query_embeddings, dim, wire_dtype=wire)
+        use_packed = (self.query_wire == "packed"
+                      or (self.query_wire == "auto" and use_pallas
+                          and b_bucket >= 32))
+        if use_packed:
+            (q1, q2, q3), nq, _rg = B.pack_queries_grouped(
+                query_embeddings, dim, wire_dtype=wire)
+            wire_kind = "packed"
+        else:
+            q1, q2 = B.pad_queries_raw(query_embeddings, dim, wire_dtype=wire)
+            q3, nq, wire_kind = None, int(q1.shape[1]), "padded"
         d = self.index.num_docs
         # None skips the mask branch entirely (and its host->device transfer)
         doc_mask_f = self._doc_mask(filter_obj, as_float=True)
-        use_pallas = self.batch_scorer.use_pallas
         ragged = self._fused_arrays(self.full_vector_name)
         max_len = self.index.store(self.full_vector_name).max_len
-        common = dict(ds=d, max_len=max_len, use_pallas=use_pallas)
+        common = dict(ds=d, max_len=max_len, use_pallas=use_pallas,
+                      wire=wire_kind, b=b_bucket, nq=nq)
 
         if mode.startswith("single_"):
             kind, name = {
@@ -509,10 +611,15 @@ class RetrievalEngine(EngineCommon):
                 "single_experimental_tokens": ("tokens_padded", self.experimental_vector_name),
                 "single_experimental_pooled": ("pooled_padded", self.experimental_vector_name),
             }[mode]
+            s1_ragged, bucket_lens = ragged, ()
+            if kind == "tokens_ragged":
+                s1_ragged, bucket_lens = self._with_buckets(ragged)
             vals, idx = plans.single_plan(
-                self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
-                kind=kind, k=max(1, min(int(top_k), d)), **common)
-            return ("done", n_real, with_payload, {"idx": idx, "score": vals})
+                self._fused_arrays(name), s1_ragged, doc_mask_f, q1, q2, q3,
+                kind=kind, k=max(1, min(int(top_k), d)),
+                bucket_lens=bucket_lens, **common)
+            return ("done", n_real, with_payload, return_arrays,
+                    {"idx": idx, "score": vals})
 
         if mode == "two_stage":
             if prefetch_k is None:
@@ -520,12 +627,12 @@ class RetrievalEngine(EngineCommon):
             kind, name = self._fused_stage1(stage1_mode)
             pk = max(1, min(int(prefetch_k), d))
             vals, idx = plans.two_stage_plan(
-                self._fused_arrays(name), ragged, doc_mask_f, tokens, qmask_f,
+                self._fused_arrays(name), ragged, doc_mask_f, q1, q2, q3,
                 kind=kind, pk=pk, k=max(1, min(int(top_k), pk)),
                 approx=self._approx_cut(pk),
                 impl=(self._rerank_impl(b_bucket, pk) if use_pallas
                       else "plain"), **common)
-            return ("done", n_real, with_payload,
+            return ("done", n_real, with_payload, return_arrays,
                     {"idx": idx, "score_stage2": vals, "score_final": vals})
 
         s1k = max(1, min(int(stage1_k or 1000), d))
@@ -533,19 +640,26 @@ class RetrievalEngine(EngineCommon):
         vals, idx, s1_at, s2_at = plans.three_stage_plan(
             self._fused_arrays(self.global_vector_name),
             self._fused_arrays(self.experimental_vector_name),
-            ragged, doc_mask_f, tokens, qmask_f,
+            ragged, doc_mask_f, q1, q2, q3,
             s1k=s1k, s2k=s2k, k=max(1, min(int(top_k), s2k)),
             approx=self._approx_cut(min(s1k, s2k)),
             impl=(self._rerank_impl(b_bucket, s2k) if use_pallas
                   else "plain"), **common)
-        return ("done", n_real, with_payload,
+        return ("done", n_real, with_payload, return_arrays,
                 {"idx": idx, "score_stage3": vals, "score_final": vals,
                  "score_stage1": s1_at, "score_stage2": s2_at})
 
-    def _finish_batch(self, pending) -> List[List[Dict[str, Any]]]:
-        tag, n_real, with_payload, arrays = pending
+    def _finish_batch(self, pending):
+        tag, n_real, with_payload, return_arrays, arrays = pending
         if tag == "empty":
+            if return_arrays:
+                z = np.zeros((n_real, 0))
+                return BatchResultArrays(
+                    ids=z.astype(object), scores=z.astype(np.float32),
+                    valid=z.astype(bool), indices=z.astype(np.int32))
             return [[] for _ in range(n_real)]
+        if return_arrays:
+            return self._finish_arrays(self.index.manifest, n_real, arrays)
         idx = arrays.pop("idx")
         return self._batch_results(idx, with_payload, **arrays)[:n_real]
 
@@ -570,6 +684,40 @@ class RetrievalEngine(EngineCommon):
             out["res4"] = store.res4
             out["res_scales"] = store.res_scales
         return out
+
+    def _with_buckets(self, ragged):
+        """Attach static doc-length bucket arrays for the exhaustive scan
+        (batch.make_exhaustive_buckets; bit-exact, VERDICT r3 #3). Cached per
+        full-vector store; returns (ragged', bucket_lens)."""
+        from visual_rag_tpu.retrieval import batch as B
+
+        bt = self._bucket_cache.get(self.full_vector_name)
+        if bt is None:
+            store = self.index.store(self.full_vector_name)
+            spec = B.make_exhaustive_buckets(np.asarray(store.lengths))
+            if spec is None:
+                bt = (None, ())
+            else:
+                offs = np.asarray(store.offsets)[spec["perm"]]
+                lens = np.asarray(store.lengths)[spec["perm"]]
+                sc = store.scales
+                scp = None if sc is None else np.asarray(sc)[spec["perm"]]
+                buckets, lo = [], 0
+                for sz in spec["sizes"]:
+                    sl = slice(lo, lo + sz)
+                    buckets.append((
+                        jax.device_put(offs[sl]), jax.device_put(lens[sl]),
+                        None if scp is None else jax.device_put(scp[sl])))
+                    lo += sz
+                bt = ((tuple(buckets), jax.device_put(spec["inv_perm"])),
+                      spec["max_lens"])
+            self._bucket_cache[self.full_vector_name] = bt
+        extra, lens = bt
+        if extra is None:
+            return ragged, ()
+        out = dict(ragged)
+        out["buckets"], out["inv_perm"] = extra
+        return out, lens
 
     def _fused_stage1(self, stage1_mode: str):
         m = _STAGE1_ALIASES.get(stage1_mode, stage1_mode)

@@ -30,6 +30,46 @@ from visual_rag_tpu.parallel.sharded import (
 NEG_INF = -1e30
 
 
+def _prep_wire(q1, q2, q3, wire: str, b: int, nq: int):
+    """Dispatch device-side query prep for either wire format.
+
+    padded: q1=[B,NQ,dim] raw tokens, q2=[B,NQ] qmask, q3=None.
+    packed: q1=[G*Rg,dim] raw packed tokens, q2=[G*Rg] pos, q3=[G,Rg] qid
+    (batch.pack_queries_grouped). Returns (tokens [B,NQ,dim] l2-normed,
+    qmask [B,NQ] f32, pooled [B,dim], packed dict or None).
+    """
+    if wire == "packed":
+        return _prep_queries_packed(q1, q2, q3, b, nq)
+    tokens, pooled = _prep_queries(q1, q2)
+    return tokens, jnp.asarray(q2, jnp.float32), pooled, None
+
+
+def _prep_queries_packed(packed, pos, qid, b: int, nq: int):
+    """Device-side prep for the group-packed wire (VERDICT r3 #6): the wire
+    ships only real tokens (+<=10% group padding), halving the host->device
+    transfer vs the padded layout at ColPali query lengths. The classic
+    padded [B, NQ, dim] view is reconstructed with one row scatter (pad rows
+    carry pos = B*NQ -> dropped) for the rerank kernels and pooled-query
+    math, so every downstream result is bit-identical to the padded wire;
+    the densely packed normalized tokens + ownership matrix additionally
+    feed the packed stage-1 kernels (M dim = real tokens, not B*NQ)."""
+    t = packed.astype(jnp.float32)  # [G*Rg, dim]
+    g, rg = qid.shape
+    gq = b // g
+    flat_t = jnp.zeros((b * nq, t.shape[1]), jnp.float32).at[pos].set(
+        t, mode="drop")
+    flat_m = jnp.zeros((b * nq,), jnp.float32).at[pos].set(1.0, mode="drop")
+    tokens_raw = flat_t.reshape(b, nq, t.shape[1])
+    qmask = flat_m.reshape(b, nq)
+    tokens, pooled = _prep_queries(tokens_raw, qmask)
+    valid = (qid.reshape(-1) >= 0).astype(jnp.float32)
+    tn = t * valid[:, None]
+    tn = tn / (jnp.linalg.norm(tn, axis=-1, keepdims=True) + 1e-8)
+    seg = (qid[:, None, :] == jnp.arange(gq, dtype=qid.dtype)[None, :, None]
+           ).astype(jnp.float32)  # [G, gq, Rg]
+    return tokens, qmask, pooled, {"q": tn, "seg": seg}
+
+
 def _prep_queries(raw, qmask):
     """Device-side query prep: raw (possibly fp16-wire) padded tokens ->
     (l2-normalized f32 tokens, normalized mean-of-raw pooled query).
@@ -61,12 +101,15 @@ def _topk_masked(scores, k: int, doc_mask, approx: bool = False):
     return vals, jnp.where(vals > NEG_INF / 2, idx, -1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("kind", "k", "ds", "max_len", "use_pallas"))
-def single_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
-                *, kind: str, k: int, ds: int, max_len: int, use_pallas: bool):
-    tokens, pooled = _prep_queries(tokens_raw, qmask)
+@partial(jax.jit, static_argnames=("kind", "k", "ds", "max_len", "use_pallas",
+                                   "wire", "b", "nq", "bucket_lens"))
+def single_plan(s1: Dict, ragged: Dict, doc_mask, q1, q2, q3=None,
+                *, kind: str, k: int, ds: int, max_len: int, use_pallas: bool,
+                wire: str = "padded", b: int = 0, nq: int = 0,
+                bucket_lens: tuple = ()):
+    tokens, qmask, pooled, packed = _prep_wire(q1, q2, q3, wire, b, nq)
     scores = _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
-                           use_pallas)
+                           use_pallas, packed=packed, bucket_lens=bucket_lens)
     if kind == "tokens_ragged" and ragged.get("res4") is not None:
         # int8 two-pass: exhaustive int8 scan ranks a window, the int4
         # residual re-scores it at 12-bit precision for the final cut
@@ -76,14 +119,16 @@ def single_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
 
 
 @partial(jax.jit, static_argnames=("kind", "pk", "k", "ds", "max_len",
-                                   "use_pallas", "approx", "impl"))
-def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
+                                   "use_pallas", "approx", "impl",
+                                   "wire", "b", "nq"))
+def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, q1, q2, q3=None,
                    *, kind: str, pk: int, k: int, ds: int, max_len: int,
                    use_pallas: bool, approx: bool = False,
-                   impl: str = "plain"):
-    tokens, pooled = _prep_queries(tokens_raw, qmask)
+                   impl: str = "plain", wire: str = "padded",
+                   b: int = 0, nq: int = 0):
+    tokens, qmask, pooled, packed = _prep_wire(q1, q2, q3, wire, b, nq)
     scores = _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
-                           use_pallas)
+                           use_pallas, packed=packed)
     _, cand = _topk_masked(scores, pk, doc_mask, approx=approx)
     rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
                        impl=impl)
@@ -93,13 +138,15 @@ def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, tokens_raw, qmask,
 
 
 @partial(jax.jit, static_argnames=("s1k", "s2k", "k", "ds", "max_len",
-                                   "use_pallas", "approx", "impl"))
+                                   "use_pallas", "approx", "impl",
+                                   "wire", "b", "nq"))
 def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
-                     tokens_raw, qmask,
+                     q1, q2, q3=None,
                      *, s1k: int, s2k: int, k: int, ds: int, max_len: int,
                      use_pallas: bool, approx: bool = False,
-                     impl: str = "plain"):
-    tokens, pooled = _prep_queries(tokens_raw, qmask)
+                     impl: str = "plain", wire: str = "padded",
+                     b: int = 0, nq: int = 0):
+    tokens, qmask, pooled, packed = _prep_wire(q1, q2, q3, wire, b, nq)
     s1 = _local_stage1("pooled_single", gstore, ragged, tokens, qmask, pooled,
                        ds, max_len, use_pallas)
     _, c1 = _topk_masked(s1, s1k, doc_mask, approx=approx)
