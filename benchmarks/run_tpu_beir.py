@@ -364,6 +364,52 @@ def evaluate(
     return report
 
 
+def dtype_ranking_quality(
+    engine_test,
+    engine_ref,
+    query_embs: Sequence[np.ndarray],
+    *,
+    top_k: int = 10,
+    **search_kw,
+) -> Dict[str, Any]:
+    """Ranking agreement of a quantized engine vs a full-precision twin.
+
+    The reference treats dtype-induced quality loss as a first-class concern
+    (collection-dtype autodetect exists because of it — reference
+    run_qdrant_beir.py:1531-1561); this makes it a measured column in the
+    report JSONs (VERDICT r3 #5): top-k id overlap, top-1 agreement, and the
+    mean |score delta| over common hits, for the SAME corpus stored at two
+    dtypes and searched identically.
+    """
+    kw = dict(search_kw, top_k=top_k, with_payload=False)
+    res_t = engine_test.search_embedded_batch(query_embs, **kw)
+    res_r = engine_ref.search_embedded_batch(query_embs, **kw)
+    overlaps: List[float] = []
+    top1: List[float] = []
+    deltas: List[float] = []
+    for rt, rr in zip(res_t, res_r):
+        ids_t = [h["id"] for h in rt]
+        ids_r = [h["id"] for h in rr]
+        if not ids_r:
+            continue
+        overlaps.append(len(set(ids_t) & set(ids_r)) / len(ids_r))
+        top1.append(float(ids_t[:1] == ids_r[:1]))
+
+        def _score(h):
+            return float(h.get("score_final", h.get("score", 0.0)))
+
+        st = {h["id"]: _score(h) for h in rt}
+        deltas.extend(abs(st[h["id"]] - _score(h))
+                      for h in rr if h["id"] in st)
+    return {
+        "top_k": top_k,
+        "n_queries": len(overlaps),
+        "overlap_at_k": float(np.mean(overlaps)) if overlaps else 1.0,
+        "top1_agreement": float(np.mean(top1)) if top1 else 1.0,
+        "score_mae_common": float(np.mean(deltas)) if deltas else 0.0,
+    }
+
+
 def auto_output_name(collection, model, mode, stage1_mode, prefetch_k, scope) -> str:
     """Config-encoding output filename (reference :125-165)."""
     model_slug = str(model).replace("/", "_")

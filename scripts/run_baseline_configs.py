@@ -79,11 +79,54 @@ def build(embedder, ds, storage_dtype, collection, pooling_windows=(3,)):
     return builder
 
 
-def run_config(n, desc, reports):
+def dtype_quality_column(n_docs=300, clusters=12, n_queries=32, seed=7):
+    """Measured dtype-quality column for config 4 (VERDICT r3 #5): top-10
+    ranking agreement of int8 and int8_refined engines vs a float-precision
+    twin of the SAME near-tie corpus (clustered docs, so int8's ~3e-3 score
+    noise actually gets a chance to reorder near-ties — planted-relevance
+    corpora are too separable to show any dtype effect)."""
+    from benchmarks.run_tpu_beir import dtype_ranking_quality
+    from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+    from visual_rag_tpu.retrieval import RetrievalEngine
+
+    rng = np.random.default_rng(seed)
+    dim = 128
+    centers = rng.standard_normal((clusters, dim)).astype(np.float32)
+    points = []
+    for i in range(n_docs):
+        c = centers[i % clusters]
+        n = int(rng.integers(24, 64))
+        toks = (c[None] + 0.35 * rng.standard_normal((n, dim))).astype(np.float32)
+        mp = toks[:8].copy()
+        points.append({"id": f"doc{i}", "vectors": {
+            "initial": toks, "mean_pooling": mp,
+            "global_pooling": toks.mean(axis=0),
+            "experimental_pooling": mp}})
+    queries = [(centers[i % clusters][None]
+                + 0.5 * rng.standard_normal((12, dim))).astype(np.float32)
+               for i in range(n_queries)]
+
+    def eng(dtype):
+        b = IndexBuilder(CollectionSchema.standard(storage_dtype=dtype, dim=dim))
+        b.upload_batch(points)
+        return RetrievalEngine(b.seal(), compute_dtype="float32")
+
+    ref = eng("float32")
+    kw = dict(mode="two_stage", prefetch_k=50,
+              stage1_mode="tokens_vs_standard_pooling")
+    out = {"protocol": f"near-tie corpus ({n_docs} docs, {clusters} clusters, "
+                       f"{n_queries} queries), two_stage prefetch=50, "
+                       "reference = float32 twin"}
+    for dtype in ("int8", "int8_refined"):
+        out[dtype] = dtype_ranking_quality(eng(dtype), ref, queries, **kw)
+    return out
+
+
+def run_config(n, desc, reports, **extra):
     OUT.mkdir(parents=True, exist_ok=True)
     payload = {"config": n, "description": desc,
                "platform": os.environ.get("VISUALRAG_PLATFORM") or "default",
-               "generated_unix": time.time(), "reports": reports}
+               "generated_unix": time.time(), "reports": reports, **extra}
     path = OUT / f"config{n}.json"
     path.write_text(json.dumps(payload, indent=2, default=str))
     print(f"config {n}: {desc}")
@@ -188,7 +231,7 @@ def main():
         ev(ds4, emb4, eng4, "cfg4", "two_stage/pooled_query(int8)",
            mode="two_stage", stage1_mode="pooled_query_vs_standard_pooling",
            prefetch_k=20, top_k=10),
-    ]))
+    ], quality_vs_bf16=dtype_quality_column()))
 
     # -- config 5: full suite, corpus sharded over the mesh ------------------
     import jax

@@ -319,3 +319,71 @@ class TestSweepRerankKernel:
         sweep = self._sweep(store, queries, qmask, candidates, 96,
                             doc_scales=store.scales)
         np.testing.assert_allclose(sweep, plain, rtol=1e-4, atol=1e-4)
+
+
+class TestExhaustiveScanKernel:
+    """Streaming exhaustive MaxSim scan (VERDICT r3 #3): every doc's window
+    DMA'd once, scored against the GROUP-PACKED query batch — must match the
+    XLA doc-major oracle bit-for-bit on f32 (same mask/empty-doc semantics)."""
+
+    @staticmethod
+    def _packed(queries, b, group=8):
+        import jax
+
+        from visual_rag_tpu.retrieval import batch as B
+        from visual_rag_tpu.retrieval.plans import _prep_queries_packed
+
+        (pw, pos, qid), nq, _rg = B.pack_queries_grouped(
+            queries, DIM, group=group)
+        prep = jax.jit(lambda a, c, d: _prep_queries_packed(a, c, d, b, nq))
+        _tokens, _qmask, _pooled, pk = prep(pw, pos, qid)
+        return pk
+
+    def test_matches_xla_exhaustive(self, small_index, rng):
+        from visual_rag_tpu.ops.kernels.maxsim_scan import (
+            exhaustive_scores_packed,
+        )
+        from visual_rag_tpu.retrieval import batch as B
+
+        store = small_index.store("initial")
+        qs = [rng.standard_normal((int(rng.integers(4, 20)), DIM)).astype(np.float32)
+              for _ in range(16)]
+        pk = self._packed(qs, 16)
+        ref = np.asarray(B.xla_exhaustive_packed(
+            store.flat, store.offsets, store.lengths, pk["q"], pk["seg"],
+            store.max_len, chunk=8))
+        got = np.asarray(exhaustive_scores_packed(
+            store.flat, store.offsets, store.lengths, pk["q"], pk["seg"],
+            store.max_len, group=8, n_slots=2, m_tile=256, interpret=True))
+        assert got.shape == (16, store.num_docs)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    def test_int8_per_doc_scales(self, rng):
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+        from visual_rag_tpu.ops.kernels.maxsim_scan import (
+            exhaustive_scores_packed,
+        )
+        from visual_rag_tpu.retrieval import batch as B
+
+        schema = CollectionSchema.standard(storage_dtype="int8", dim=DIM)
+        builder = IndexBuilder(schema)
+        for i in range(13):
+            n = int(rng.integers(2, 30))
+            builder.add(f"d{i}", {
+                "initial": rng.standard_normal((n, DIM)).astype(np.float32),
+                "mean_pooling": rng.standard_normal((3, DIM)).astype(np.float32),
+                "experimental_pooling": rng.standard_normal((5, DIM)).astype(np.float32),
+                "global_pooling": rng.standard_normal((DIM,)).astype(np.float32),
+            })
+        store = builder.seal().store("initial")
+        qs = [rng.standard_normal((int(rng.integers(4, 16)), DIM)).astype(np.float32)
+              for _ in range(8)]
+        pk = self._packed(qs, 8, group=4)
+        ref = np.asarray(B.xla_exhaustive_packed(
+            store.flat, store.offsets, store.lengths, pk["q"], pk["seg"],
+            store.max_len, scales=store.scales, chunk=8))
+        got = np.asarray(exhaustive_scores_packed(
+            store.flat, store.offsets, store.lengths, pk["q"], pk["seg"],
+            store.max_len, doc_scales=store.scales, group=4, n_slots=2,
+            m_tile=256, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
