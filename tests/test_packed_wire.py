@@ -104,6 +104,42 @@ class TestPackedEngineParity:
             # scores this far apart cannot silently reorder: sets must agree
             assert {h["id"] for h in ra} == {h["id"] for h in rb}
 
+    @pytest.mark.parametrize("mode,kw", [
+        ("two_stage", dict(prefetch_k=50)),
+        ("two_stage", dict(prefetch_k=300)),  # prefetch >= corpus: == single_full
+        ("three_stage", dict(stage1_k=100, stage2_k=40)),
+    ], ids=["two_stage", "two_stage_oracle", "three_stage"])
+    def test_scan_rerank_matches_plain(self, small_index, mode, kw):
+        """rerank_impl='scan' (whole-store streaming pass + candidate gather,
+        the r4 high-coverage policy) must rank identically to the plain
+        per-candidate rerank."""
+        ep = RetrievalEngine(small_index, query_wire="packed",
+                             rerank_impl="plain")
+        es = RetrievalEngine(small_index, query_wire="packed",
+                             rerank_impl="scan")
+        rng = np.random.default_rng(11)
+        qs = _queries(64, rng)
+        a = ep.search_embedded_batch(qs, mode=mode, top_k=5,
+                                     with_payload=False, **kw)
+        b = es.search_embedded_batch(qs, mode=mode, top_k=5,
+                                     with_payload=False, **kw)
+        for ra, rb in zip(a, b):
+            sa = sorted(h["score_final"] for h in ra)
+            sb = sorted(h["score_final"] for h in rb)
+            np.testing.assert_allclose(sa, sb, atol=5e-5)
+            assert {h["id"] for h in ra} == {h["id"] for h in rb}
+
+    def test_scan_policy_gates(self, small_index):
+        """auto policy: scan only when candidate windows outnumber docs
+        severalfold AND the packed geometry fits VMEM."""
+        e = RetrievalEngine(small_index, query_wire="packed")
+        geom = dict(n_docs=small_index.num_docs, m_packed=1024)
+        assert e._rerank_impl(64, 50, **geom) == "scan"  # 3200 >= 4*300
+        assert e._rerank_impl(64, 10, **geom) != "scan"  # 640 < 4*300
+        assert e._rerank_impl(64, 50) != "scan"          # padded wire: no geom
+        huge = dict(n_docs=small_index.num_docs, m_packed=200_000)
+        assert e._rerank_impl(64, 50, **huge) != "scan"  # VMEM guard
+
     def test_pooled_stage1_bit_identical(self, small_index):
         """pooled-query modes never touch the packed tokens: results must be
         BIT-identical to the padded wire (reconstruction is exact)."""

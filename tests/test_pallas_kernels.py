@@ -353,8 +353,9 @@ class TestExhaustiveScanKernel:
             store.flat, store.offsets, store.lengths, pk["q"], pk["seg"],
             store.max_len, chunk=8))
         got = np.asarray(exhaustive_scores_packed(
-            store.flat, store.offsets, store.lengths, pk["q"], pk["seg"],
-            store.max_len, group=8, n_slots=2, m_tile=256, interpret=True))
+            store.flat, store.offsets, store.lengths, pk["q"], pk["qid"],
+            store.max_len, b=16, group=8, n_slots=2, m_tile=256,
+            interpret=True))
         assert got.shape == (16, store.num_docs)
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
@@ -383,7 +384,7 @@ class TestExhaustiveScanKernel:
             store.flat, store.offsets, store.lengths, pk["q"], pk["seg"],
             store.max_len, scales=store.scales, chunk=8))
         got = np.asarray(exhaustive_scores_packed(
-            store.flat, store.offsets, store.lengths, pk["q"], pk["seg"],
-            store.max_len, doc_scales=store.scales, group=4, n_slots=2,
+            store.flat, store.offsets, store.lengths, pk["q"], pk["qid"],
+            store.max_len, b=8, doc_scales=store.scales, group=4, n_slots=2,
             m_tile=256, interpret=True))
         np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)

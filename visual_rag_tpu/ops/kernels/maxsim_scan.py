@@ -9,13 +9,18 @@ r3 #3: 27% effective MXU). This kernel streams each doc's token window
 HBM->VMEM once (double-buffered DMAs, same machinery as maxsim_rerank),
 computes [T, M] similarities on the MXU against the GROUP-PACKED query
 tokens (M = real tokens, no B*NQ mask padding), folds the per-token maxima
-into per-query scores with one [B, M] x [M, G] matmul per doc block, and
-never writes a similarity tile to HBM.
+into per-query scores with one [gq, Rg] x [Rg, G] matmul per query group
+per doc block, and never writes a similarity tile to HBM. Also serves as
+the high-coverage ``rerank_impl='scan'`` stage-2 (engine policy): when B*K
+candidate windows outnumber docs severalfold, one pass over every doc plus
+a score gather replaces per-candidate window DMAs.
 
 Layout notes:
 - queries arrive packed ([M, dim], batch.pack_queries_grouped) with the
-  query-ownership matrix ``seg`` [B, M] (0/1, qmask folded in): per-query
-  token sums become MXU work instead of masked VPU reductions.
+  in-group owner rows ``qid`` [G, Rg] (int32, -1 on pad rows): each group's
+  0/1 ownership one-hot is built in-kernel so per-query token sums become
+  MXU work instead of masked VPU reductions, without a resident [B, M]
+  (or even [G, gq, Rg]) f32 matrix in VMEM.
 - sims are computed [T, M-tile] so the per-token max is a SUBLANE reduction
   with explicit keepdims (lane-dim reductions to scalars are not vectorized;
   sublane max with keepdims is — same trick as the prefetch kernel's
@@ -39,11 +44,27 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30  # python float: jnp scalars would be captured consts
 
 
+def scan_kernel_fits(m, dim, max_len, flat_dtype, group=16,
+                     n_slots=4, m_tile=1024, limit=12 * 2**20):
+    """VMEM estimate for the streaming scan kernel: resident packed queries
+    + qid rows + per-token max stack + DMA scratch must stay well under the
+    16 MB scoped limit (holds to bs~2048 at ColPali query lengths now that
+    ownership is built in-kernel from the [G, Rg] qid rows)."""
+    m_pad = -(-m // min(m_tile, m)) * min(m_tile, m)
+    itemsize = 2 if flat_dtype == jnp.int8 else jnp.dtype(flat_dtype).itemsize
+    ml = -(-int(max_len) // 32) * 32
+    vmem = (m_pad * dim * itemsize          # resident queries (compute dtype)
+            + m * 4                         # qid ownership rows (int32)
+            + group * m_pad * 4             # per-token max stack
+            + n_slots * ml * dim * max(1, itemsize))  # DMA scratch
+    return vmem <= limit
+
+
 def _make_kernel(max_len: int, group: int, n_slots: int, m: int, m_tile: int,
-                 g_q: int, rg: int):
+                 g_q: int, gq: int, rg: int):
     n_mt = m // m_tile
 
-    def kernel(off_ref, len_ref, scale_ref, q_ref, seg_ref, flat_hbm,
+    def kernel(off_ref, len_ref, scale_ref, q_ref, qid_ref, flat_hbm,
                out_ref, stack, scratch, sems):
         blk = pl.program_id(0)
         base = blk * group
@@ -84,12 +105,16 @@ def _make_kernel(max_len: int, group: int, n_slots: int, m: int, m_tile: int,
                 stack[pl.ds(g, 1), pl.ds(mt * m_tile, m_tile)] = best
         # per-query fold, one MXU matmul per query group: ownership is
         # block-diagonal over groups, so the dense [B, M] matrix is never
-        # built — seg stays [G_q, gq, Rg] (~0.5 MB) and each group's fold
-        # contracts only its own Rg token slice of the stack.
-        gq = seg_ref.shape[1]
+        # built — and the per-group [gq, Rg] one-hot is materialized from
+        # the tiny [G_q, Rg] int32 qid row right here (a resident f32
+        # ownership tensor would cost b*Rg*4 bytes of VMEM — 4 MB at
+        # bs=2048 — and was the binding term in scan_kernel_fits).
         for gi in range(g_q):  # static unroll: row offsets stay static
+            owner = qid_ref[pl.ds(gi, 1), :]  # [1, Rg] int32 (-1 = pad row)
+            seg = (jax.lax.broadcasted_iota(jnp.int32, (gq, rg), 0)
+                   == owner).astype(jnp.float32)
             scores = jax.lax.dot_general(
-                seg_ref[gi], stack[:, pl.ds(gi * rg, rg)],
+                seg, stack[:, pl.ds(gi * rg, rg)],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [gq, G]
@@ -99,14 +124,15 @@ def _make_kernel(max_len: int, group: int, n_slots: int, m: int, m_tile: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_len", "group", "n_slots", "m_tile", "interpret"))
+    "max_len", "b", "group", "n_slots", "m_tile", "interpret"))
 def exhaustive_scores_packed(
     flat: jnp.ndarray,  # [N + pad, dim] ragged store (bf16/f32/int8 codes)
     offsets: jnp.ndarray,  # [D] int32
     lengths: jnp.ndarray,  # [D] int32
     qpacked: jnp.ndarray,  # [M, dim] l2-normalized packed query tokens
-    seg: jnp.ndarray,  # [G_q, gq, Rg] ownership (pack_queries_grouped layout)
+    qid: jnp.ndarray,  # [G_q, Rg] int32 in-group owner (-1 = pad row)
     max_len: int,
+    b: int,  # batch size (G_q * gq)
     doc_scales: jnp.ndarray | None = None,  # [D] per-doc int8 scales
     group: int = 16,
     n_slots: int = 4,
@@ -115,8 +141,8 @@ def exhaustive_scores_packed(
 ) -> jnp.ndarray:
     """Exact MaxSim scores [B, D] f32 of every query against every doc."""
     max_len = ((int(max_len) + 31) // 32) * 32
-    g_q, gq, rg = seg.shape
-    b = g_q * gq
+    g_q, rg = qid.shape
+    gq = b // g_q
     m, dim = qpacked.shape
     m_tile = min(m_tile, m)
     m_pad = int(pl.cdiv(m, m_tile)) * m_tile
@@ -138,9 +164,9 @@ def exhaustive_scores_packed(
                          constant_values=1.0) if d_pad != d else \
             doc_scales.astype(jnp.float32)
     cd = jnp.bfloat16 if flat.dtype == jnp.int8 else flat.dtype
-    kern = _make_kernel(max_len, group, n_slots, m_pad, m_tile, g_q, rg)
+    kern = _make_kernel(max_len, group, n_slots, m_pad, m_tile, g_q, gq, rg)
     qc = qpacked.astype(cd)
-    segc = jnp.asarray(seg, jnp.float32)
+    qidc = jnp.asarray(qid, jnp.int32)
 
     def run_chunk(offs_c, lens_c, scales_c):
         n_blocks = offs_c.shape[0] // group
@@ -150,8 +176,8 @@ def exhaustive_scores_packed(
             in_specs=[
                 pl.BlockSpec((m_pad, dim), lambda blk, *_: (0, 0),
                              memory_space=pltpu.VMEM),  # resident queries
-                pl.BlockSpec((g_q, gq, rg), lambda blk, *_: (0, 0, 0),
-                             memory_space=pltpu.VMEM),  # resident ownership
+                pl.BlockSpec((g_q, rg), lambda blk, *_: (0, 0),
+                             memory_space=pltpu.VMEM),  # resident qid rows
                 pl.BlockSpec(memory_space=pl.ANY),  # flat stays in HBM
             ],
             out_specs=pl.BlockSpec((1, b, group), lambda blk, *_: (blk, 0, 0),
@@ -169,7 +195,7 @@ def exhaustive_scores_packed(
             interpret=interpret,
         )(
             offs_c.astype(jnp.int32), lens_c.astype(jnp.int32),
-            scales_c.astype(jnp.float32), qc, segc, flat,
+            scales_c.astype(jnp.float32), qc, qidc, flat,
         )
         return jnp.moveaxis(out, 0, 1).reshape(b, n_blocks * group)
 

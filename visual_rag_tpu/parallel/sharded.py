@@ -45,6 +45,7 @@ from visual_rag_tpu.ops.kernels.maxsim_rerank import (
 )
 from visual_rag_tpu.ops.kernels.maxsim_scan import (
     exhaustive_scores_packed,
+    scan_kernel_fits as _scan_kernel_fits,
 )
 from visual_rag_tpu.ops.kernels.maxsim_sweep import (
     rerank_candidates_sweep,
@@ -373,14 +374,32 @@ SWEEP_MAX_B = 256  # kernel qid pack width (maxsim_sweep.MAX_B)
 
 
 def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
-                  impl="plain"):
-    """Stage-2 exact rerank dispatcher: impl = plain | dedup | sweep.
+                  impl="plain", packed=None):
+    """Stage-2 exact rerank dispatcher: impl = plain | dedup | sweep | scan.
 
     plain/dedup gather one candidate window per (unique) doc; sweep streams
     coalesced row-ranges (maxsim_sweep.py) and wins when the candidate set
-    covers a decent fraction of the store (policy: EngineCommon._rerank_impl).
+    covers a decent fraction of the store; scan (r4, VERDICT #6) runs the
+    streaming exhaustive kernel over the WHOLE store and gathers candidate
+    scores — when B*K candidate windows exceed the corpus severalfold (the
+    3k-doc headline at bs>=256), one pass over every doc is far less DMA
+    work than per-candidate gathers, and two_stage(prefetch>=corpus) becomes
+    bit-equal to single_full. Policy: EngineCommon._rerank_impl.
     """
     scales = ragged.get("scales")  # per-doc int8 scales (None for float stores)
+    if impl == "scan" and packed is not None:
+        if use_pallas:
+            scores = exhaustive_scores_packed(
+                ragged["flat"], ragged["offsets"], ragged["lengths"],
+                packed["q"], packed["qid"], max_len, b=tokens.shape[0],
+                doc_scales=scales)
+        else:  # XLA doc-major fallback: same semantics, CPU-testable
+            scores = BATCH.xla_exhaustive_packed(
+                ragged["flat"], ragged["offsets"], ragged["lengths"],
+                packed["q"], packed["seg"], max_len, scales=scales)
+        out = jnp.take_along_axis(scores, jnp.maximum(cand, 0).astype(jnp.int32),
+                                  axis=1)
+        return jnp.where(cand >= 0, out, NEG_INF)
     if use_pallas:
         b, k = cand.shape
         nq = tokens.shape[1]
@@ -497,23 +516,6 @@ def _exhaustive_chunk(b_rows, max_len):
     return max(2, min(32, int(128e6 // max(1, b_rows * max_len * 4))))
 
 
-def _scan_kernel_fits(packed, max_len, flat_dtype, group=16, n_slots=4,
-                      m_tile=1024, limit=12 * 2**20):
-    """VMEM estimate for the streaming scan kernel: resident packed queries
-    + ownership + per-token max stack + DMA scratch must stay well under the
-    16 MB scoped limit (holds to bs~1024 at ColPali query lengths)."""
-    m = packed["q"].shape[0]
-    dim = packed["q"].shape[1]
-    m_pad = -(-m // min(m_tile, m)) * min(m_tile, m)
-    itemsize = 2 if flat_dtype == jnp.int8 else jnp.dtype(flat_dtype).itemsize
-    ml = -(-int(max_len) // 32) * 32
-    vmem = (m_pad * dim * itemsize          # resident queries (compute dtype)
-            + packed["seg"].size * 4        # ownership matrix
-            + group * m_pad * 4             # per-token max stack
-            + n_slots * ml * dim * max(1, itemsize))  # DMA scratch
-    return vmem <= limit
-
-
 def _local_tokens_ragged(ragged, tokens, qmask, packed, max_len,
                          bucket_lens=(), use_pallas=False):
     """Full exact scan, DOC-MAJOR: each doc chunk is gathered once and
@@ -530,12 +532,15 @@ def _local_tokens_ragged(ragged, tokens, qmask, packed, max_len,
     scales = ragged.get("scales")
     if packed is not None:
         b_rows = packed["q"].shape[0]
-        if use_pallas and _scan_kernel_fits(packed, max_len,
-                                            ragged["flat"].dtype):
+        if use_pallas and _scan_kernel_fits(
+                packed["q"].shape[0], packed["q"].shape[1],
+                max_len, ragged["flat"].dtype):
+            b_q = tokens.shape[0]
+
             def scan(offs, lens, sc, ml):
                 return exhaustive_scores_packed(
-                    ragged["flat"], offs, lens, packed["q"], packed["seg"],
-                    ml, doc_scales=sc)
+                    ragged["flat"], offs, lens, packed["q"], packed["qid"],
+                    ml, b=b_q, doc_scales=sc)
         else:
             def scan(offs, lens, sc, ml):
                 return BATCH.xla_exhaustive_packed(
@@ -662,9 +667,9 @@ class ShardedEngine(EngineCommon):
         if stage1_cut not in ("auto", "exact", "approx"):
             raise ValueError(f"stage1_cut must be auto|exact|approx, got {stage1_cut}")
         self.stage1_cut = stage1_cut
-        if rerank_impl not in ("auto", "plain", "dedup", "sweep"):
+        if rerank_impl not in ("auto", "plain", "dedup", "sweep", "scan"):
             raise ValueError(
-                f"rerank_impl must be auto|plain|dedup|sweep, got {rerank_impl}")
+                f"rerank_impl must be auto|plain|dedup|sweep|scan, got {rerank_impl}")
         self.rerank_impl = rerank_impl
         self._plans: Dict[Any, Any] = {}
 
@@ -980,7 +985,9 @@ class ShardedEngine(EngineCommon):
                     return_arrays, {})
         dim = next(iter(si.stores.values()))
         dim = list(dim.values())[0].shape[-1]
-        wire = np.float16 if jax.default_backend() == "tpu" else np.float32
+        # f32 wire (r4): the host-side f16 cast costs more than the saved
+        # transfer on this 1-core host — see batch._WirePool / engine.py
+        wire = np.float32
         tokens, qmask = BATCH.pad_queries_raw(query_embeddings, dim,
                                               wire_dtype=wire)
         mask = si.doc_mask_shards(filter_obj)

@@ -122,11 +122,17 @@ class EngineCommon:
 
     APPROX_CUT_MIN_DOCS = 65536  # measured: approx loses at 30k, wins 6x at 100k
     stage1_cut: str = "auto"
-    rerank_impl: str = "auto"  # auto | plain | dedup | sweep
+    rerank_impl: str = "auto"  # auto | plain | dedup | sweep | scan
     DEDUP_MIN_BATCH = 64
     SWEEP_MIN_COV = 6.0  # measured: sweep wins at cov 6.3+, ties dedup at 4.8
+    # scan: one streaming pass over the WHOLE store beats per-candidate
+    # gathers when candidate windows outnumber docs severalfold (per-window
+    # DMA descriptor cost ~0.8us is the rerank floor; the scan pays it once
+    # per doc instead of once per (query, candidate))
+    SCAN_MIN_CAND_RATIO = 4.0
 
-    def _rerank_impl(self, b: int, k: int) -> str:
+    def _rerank_impl(self, b: int, k: int, n_docs: int = 0,
+                     m_packed: int = 0) -> str:
         """Stage-2 rerank kernel selection (static per plan compile).
 
         - ``plain``: one DMA + matmul per candidate (tiny batches: no
@@ -140,11 +146,18 @@ class EngineCommon:
           sizes: 43.6->38.6 ms at the 3k headline shape). Coverage =
           b*k*ceil32(max_len)/rows, gated at SWEEP_MIN_COV.
         """
-        if self.rerank_impl in ("plain", "dedup", "sweep"):
+        if self.rerank_impl in ("plain", "dedup", "sweep", "scan"):
             return self.rerank_impl
         if b < self.DEDUP_MIN_BATCH:
             return "plain"
         rows, max_len, nq, dim, itemsize = self._ragged_geom()
+        if m_packed and n_docs and b * k >= self.SCAN_MIN_CAND_RATIO * n_docs:
+            from visual_rag_tpu.ops.kernels.maxsim_scan import scan_kernel_fits
+
+            store_dtype = (jnp.int8 if itemsize == 1 else
+                           jnp.bfloat16 if itemsize == 2 else jnp.float32)
+            if scan_kernel_fits(m_packed, dim, max_len, store_dtype):
+                return "scan"
         from visual_rag_tpu.ops.kernels.maxsim_sweep import (
             _ceil32, sweep_supported)
         cov = b * k * _ceil32(max_len) / max(1, rows)
@@ -263,9 +276,9 @@ class RetrievalEngine(EngineCommon):
         if stage1_cut not in ("auto", "exact", "approx"):
             raise ValueError(f"stage1_cut must be auto|exact|approx, got {stage1_cut}")
         self.stage1_cut = stage1_cut
-        if rerank_impl not in ("auto", "plain", "dedup", "sweep"):
+        if rerank_impl not in ("auto", "plain", "dedup", "sweep", "scan"):
             raise ValueError(
-                f"rerank_impl must be auto|plain|dedup|sweep, got {rerank_impl}")
+                f"rerank_impl must be auto|plain|dedup|sweep|scan, got {rerank_impl}")
         self.rerank_impl = rerank_impl
         import os as _os
 
@@ -580,10 +593,12 @@ class RetrievalEngine(EngineCommon):
             query_embeddings = (list(query_embeddings)
                                 + [query_embeddings[0]] * (b_bucket - n_real))
         dim = next(iter(self.index.stores.values())).dim
-        # fp16 wire on TPU halves the host->device transfer; plans normalize
-        # in f32 on device, so only the raw token rounding differs (<=1e-3)
+        # r4: the wire is f32 — the host-side f32->f16 cast costs ~43 ms per
+        # 2048-query batch on this 1-core host while the saved transfer is
+        # ~10 ms at tunnel bandwidth (page-fault profile in batch._WirePool);
+        # f32 also restores bit-parity with the padded-path normalization
         use_pallas = self.batch_scorer.use_pallas
-        wire = np.float16 if jax.default_backend() == "tpu" else np.float32
+        wire = np.float32
         use_packed = (self.query_wire == "packed"
                       or (self.query_wire == "auto" and use_pallas
                           and b_bucket >= 32))
@@ -626,25 +641,29 @@ class RetrievalEngine(EngineCommon):
                 prefetch_k = max(100, top_k * 10)
             kind, name = self._fused_stage1(stage1_mode)
             pk = max(1, min(int(prefetch_k), d))
+            scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0])}
+                         if wire_kind == "packed" else {})
             vals, idx = plans.two_stage_plan(
                 self._fused_arrays(name), ragged, doc_mask_f, q1, q2, q3,
                 kind=kind, pk=pk, k=max(1, min(int(top_k), pk)),
                 approx=self._approx_cut(pk),
-                impl=(self._rerank_impl(b_bucket, pk) if use_pallas
-                      else "plain"), **common)
+                impl=(self._rerank_impl(b_bucket, pk, **scan_geom)
+                      if use_pallas else "plain"), **common)
             return ("done", n_real, with_payload, return_arrays,
                     {"idx": idx, "score_stage2": vals, "score_final": vals})
 
         s1k = max(1, min(int(stage1_k or 1000), d))
         s2k = max(1, min(int(stage2_k or 300), d))
+        scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0])}
+                     if wire_kind == "packed" else {})
         vals, idx, s1_at, s2_at = plans.three_stage_plan(
             self._fused_arrays(self.global_vector_name),
             self._fused_arrays(self.experimental_vector_name),
             ragged, doc_mask_f, q1, q2, q3,
             s1k=s1k, s2k=s2k, k=max(1, min(int(top_k), s2k)),
             approx=self._approx_cut(min(s1k, s2k)),
-            impl=(self._rerank_impl(b_bucket, s2k) if use_pallas
-                  else "plain"), **common)
+            impl=(self._rerank_impl(b_bucket, s2k, **scan_geom)
+                  if use_pallas else "plain"), **common)
         return ("done", n_real, with_payload, return_arrays,
                 {"idx": idx, "score_stage3": vals, "score_final": vals,
                  "score_stage1": s1_at, "score_stage2": s2_at})

@@ -67,7 +67,8 @@ def _prep_queries_packed(packed, pos, qid, b: int, nq: int):
     tn = tn / (jnp.linalg.norm(tn, axis=-1, keepdims=True) + 1e-8)
     seg = (qid[:, None, :] == jnp.arange(gq, dtype=qid.dtype)[None, :, None]
            ).astype(jnp.float32)  # [G, gq, Rg]
-    return tokens, qmask, pooled, {"q": tn, "seg": seg}
+    return tokens, qmask, pooled, {"q": tn, "seg": seg,
+                                   "qid": jnp.asarray(qid, jnp.int32)}
 
 
 def _prep_queries(raw, qmask):
@@ -131,7 +132,7 @@ def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, q1, q2, q3=None,
                            use_pallas, packed=packed)
     _, cand = _topk_masked(scores, pk, doc_mask, approx=approx)
     rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
-                       impl=impl)
+                       impl=impl, packed=packed)
     return _refine_topk(ragged, tokens, qmask, cand, rr, k, max_len)
 
 
@@ -158,7 +159,7 @@ def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
     c2 = jnp.where(v2 > NEG_INF / 2,
                    jnp.take_along_axis(c1, pos2, axis=1), -1).astype(jnp.int32)
     rr = _local_rerank(ragged, tokens, qmask, c2, max_len, use_pallas,
-                       impl=impl)
+                       impl=impl, packed=packed)
     if ragged.get("res4") is None:
         vals, pos = jax.lax.top_k(rr, k)
         idx = jnp.where(vals > NEG_INF / 2,
