@@ -131,14 +131,21 @@ class TestPackedEngineParity:
 
     def test_scan_policy_gates(self, small_index):
         """auto policy: scan only when candidate windows outnumber docs
-        severalfold AND the packed geometry fits VMEM."""
+        severalfold AND the kernel geometry fits VMEM."""
+        from visual_rag_tpu.ops.kernels.maxsim_scan import scan_kernel_fits
+
         e = RetrievalEngine(small_index, query_wire="packed")
         geom = dict(n_docs=small_index.num_docs, m_packed=1024)
         assert e._rerank_impl(64, 50, **geom) == "scan"  # 3200 >= 4*300
         assert e._rerank_impl(64, 10, **geom) != "scan"  # 640 < 4*300
         assert e._rerank_impl(64, 50) != "scan"          # padded wire: no geom
+        # the streamed-query kernel is batch-size independent: a huge packed
+        # token count still fits (the r4a resident-q design did not)
         huge = dict(n_docs=small_index.num_docs, m_packed=200_000)
-        assert e._rerank_impl(64, 50, **huge) != "scan"  # VMEM guard
+        assert e._rerank_impl(64, 50, **huge) == "scan"
+        # the VMEM gate now trips only on pathological window geometry
+        import jax.numpy as jnp
+        assert not scan_kernel_fits(1024, 128, 24_000, jnp.bfloat16)
 
     def test_pooled_stage1_bit_identical(self, small_index):
         """pooled-query modes never touch the packed tokens: results must be

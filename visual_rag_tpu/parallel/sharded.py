@@ -374,7 +374,7 @@ SWEEP_MAX_B = 256  # kernel qid pack width (maxsim_sweep.MAX_B)
 
 
 def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
-                  impl="plain", packed=None):
+                  impl="plain", packed=None, bucket_lens=()):
     """Stage-2 exact rerank dispatcher: impl = plain | dedup | sweep | scan.
 
     plain/dedup gather one candidate window per (unique) doc; sweep streams
@@ -388,15 +388,11 @@ def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
     """
     scales = ragged.get("scales")  # per-doc int8 scales (None for float stores)
     if impl == "scan" and packed is not None:
-        if use_pallas:
-            scores = exhaustive_scores_packed(
-                ragged["flat"], ragged["offsets"], ragged["lengths"],
-                packed["q"], packed["qid"], max_len, b=tokens.shape[0],
-                doc_scales=scales)
-        else:  # XLA doc-major fallback: same semantics, CPU-testable
-            scores = BATCH.xla_exhaustive_packed(
-                ragged["flat"], ragged["offsets"], ragged["lengths"],
-                packed["q"], packed["seg"], max_len, scales=scales)
+        # the exhaustive stage-1 path IS the scan (buckets, kernel-vs-XLA
+        # choice, VMEM guard all included) — gather its scores at candidates
+        scores = _local_tokens_ragged(ragged, tokens, qmask, packed, max_len,
+                                      bucket_lens=bucket_lens,
+                                      use_pallas=use_pallas)
         out = jnp.take_along_axis(scores, jnp.maximum(cand, 0).astype(jnp.int32),
                                   axis=1)
         return jnp.where(cand >= 0, out, NEG_INF)

@@ -643,12 +643,18 @@ class RetrievalEngine(EngineCommon):
             pk = max(1, min(int(prefetch_k), d))
             scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0])}
                          if wire_kind == "packed" else {})
+            impl = (self._rerank_impl(b_bucket, pk, **scan_geom)
+                    if use_pallas else "plain")
+            # scan rerank = the exhaustive pass -> give it the same static
+            # doc-length buckets single_full uses (each bucket scanned at
+            # its own max_len; bit-exact, ~30% less padded window work)
+            ragged2, bl = (self._with_buckets(ragged) if impl == "scan"
+                           else (ragged, ()))
             vals, idx = plans.two_stage_plan(
-                self._fused_arrays(name), ragged, doc_mask_f, q1, q2, q3,
+                self._fused_arrays(name), ragged2, doc_mask_f, q1, q2, q3,
                 kind=kind, pk=pk, k=max(1, min(int(top_k), pk)),
-                approx=self._approx_cut(pk),
-                impl=(self._rerank_impl(b_bucket, pk, **scan_geom)
-                      if use_pallas else "plain"), **common)
+                approx=self._approx_cut(pk), impl=impl, bucket_lens=bl,
+                **common)
             return ("done", n_real, with_payload, return_arrays,
                     {"idx": idx, "score_stage2": vals, "score_final": vals})
 
@@ -656,14 +662,17 @@ class RetrievalEngine(EngineCommon):
         s2k = max(1, min(int(stage2_k or 300), d))
         scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0])}
                      if wire_kind == "packed" else {})
+        impl = (self._rerank_impl(b_bucket, s2k, **scan_geom)
+                if use_pallas else "plain")
+        ragged3, bl3 = (self._with_buckets(ragged) if impl == "scan"
+                        else (ragged, ()))
         vals, idx, s1_at, s2_at = plans.three_stage_plan(
             self._fused_arrays(self.global_vector_name),
             self._fused_arrays(self.experimental_vector_name),
-            ragged, doc_mask_f, q1, q2, q3,
+            ragged3, doc_mask_f, q1, q2, q3,
             s1k=s1k, s2k=s2k, k=max(1, min(int(top_k), s2k)),
-            approx=self._approx_cut(min(s1k, s2k)),
-            impl=(self._rerank_impl(b_bucket, s2k, **scan_geom)
-                  if use_pallas else "plain"), **common)
+            approx=self._approx_cut(min(s1k, s2k)), impl=impl,
+            bucket_lens=bl3, **common)
         return ("done", n_real, with_payload, return_arrays,
                 {"idx": idx, "score_stage3": vals, "score_final": vals,
                  "score_stage1": s1_at, "score_stage2": s2_at})

@@ -121,18 +121,18 @@ def single_plan(s1: Dict, ragged: Dict, doc_mask, q1, q2, q3=None,
 
 @partial(jax.jit, static_argnames=("kind", "pk", "k", "ds", "max_len",
                                    "use_pallas", "approx", "impl",
-                                   "wire", "b", "nq"))
+                                   "wire", "b", "nq", "bucket_lens"))
 def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, q1, q2, q3=None,
                    *, kind: str, pk: int, k: int, ds: int, max_len: int,
                    use_pallas: bool, approx: bool = False,
                    impl: str = "plain", wire: str = "padded",
-                   b: int = 0, nq: int = 0):
+                   b: int = 0, nq: int = 0, bucket_lens: tuple = ()):
     tokens, qmask, pooled, packed = _prep_wire(q1, q2, q3, wire, b, nq)
     scores = _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
                            use_pallas, packed=packed)
     _, cand = _topk_masked(scores, pk, doc_mask, approx=approx)
     rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
-                       impl=impl, packed=packed)
+                       impl=impl, packed=packed, bucket_lens=bucket_lens)
     return _refine_topk(ragged, tokens, qmask, cand, rr, k, max_len)
 
 
@@ -140,13 +140,13 @@ def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, q1, q2, q3=None,
 
 @partial(jax.jit, static_argnames=("s1k", "s2k", "k", "ds", "max_len",
                                    "use_pallas", "approx", "impl",
-                                   "wire", "b", "nq"))
+                                   "wire", "b", "nq", "bucket_lens"))
 def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
                      q1, q2, q3=None,
                      *, s1k: int, s2k: int, k: int, ds: int, max_len: int,
                      use_pallas: bool, approx: bool = False,
                      impl: str = "plain", wire: str = "padded",
-                     b: int = 0, nq: int = 0):
+                     b: int = 0, nq: int = 0, bucket_lens: tuple = ()):
     tokens, qmask, pooled, packed = _prep_wire(q1, q2, q3, wire, b, nq)
     s1 = _local_stage1("pooled_single", gstore, ragged, tokens, qmask, pooled,
                        ds, max_len, use_pallas)
@@ -159,7 +159,7 @@ def three_stage_plan(gstore: Dict, estore: Dict, ragged: Dict, doc_mask,
     c2 = jnp.where(v2 > NEG_INF / 2,
                    jnp.take_along_axis(c1, pos2, axis=1), -1).astype(jnp.int32)
     rr = _local_rerank(ragged, tokens, qmask, c2, max_len, use_pallas,
-                       impl=impl, packed=packed)
+                       impl=impl, packed=packed, bucket_lens=bucket_lens)
     if ragged.get("res4") is None:
         vals, pos = jax.lax.top_k(rr, k)
         idx = jnp.where(vals > NEG_INF / 2,
