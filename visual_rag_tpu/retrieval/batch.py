@@ -73,7 +73,11 @@ class _WirePool:
     dtype). Rotation depth 4 exceeds the engine's pipeline depth (2), so a
     buffer is never mutated while its device_put transfer may still be in
     flight. Engine batch-size bucketing keeps the number of distinct shapes
-    (and thus resident buffers) small."""
+    (and thus resident buffers) small.
+
+    Not thread-safe by design: all engine dispatches funnel through one
+    thread (the serving batcher is a single worker; the engine itself is
+    documented single-dispatcher)."""
 
     def __init__(self, depth: int = 4):
         self.depth = depth
