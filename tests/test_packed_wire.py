@@ -287,6 +287,23 @@ class TestReturnArraysAndDepth:
             assert [[[h["id"] for h in r] for r in x] for x in pip] == \
                    [[[h["id"] for h in r] for r in x] for x in seq]
 
+    def test_pool_wrap_no_aliasing(self, small_index):
+        """10 DIFFERENT same-shape batches through depth-4 pipelining: the
+        rotating _WirePool wraps twice; any buffer mutated while a previous
+        batch's wire was still live would corrupt that batch's results."""
+        eng = RetrievalEngine(small_index, query_wire="packed")
+        rng = np.random.default_rng(12)
+        # same query lengths across batches -> identical wire shapes ->
+        # every batch hits the same pool slot cycle
+        lens = [int(rng.integers(5, 25)) for _ in range(16)]
+        batches = [[rng.standard_normal((n, DIM)).astype(np.float32)
+                    for n in lens] for _ in range(10)]
+        kw = dict(mode="two_stage", top_k=5, prefetch_k=50, with_payload=False)
+        seq = [eng.search_embedded_batch(b, **kw) for b in batches]
+        pip = list(eng.search_embedded_batches(batches, depth=4, **kw))
+        assert [[[h["id"] for h in r] for r in x] for x in pip] == \
+               [[[h["id"] for h in r] for r in x] for x in seq]
+
     def test_empty_batch_arrays(self, small_index):
         eng = RetrievalEngine(small_index)
         out = eng.search_embedded_batch([], with_payload=False,

@@ -89,10 +89,14 @@ def _to_array(image) -> np.ndarray:
 
 
 def _resize_nn(img: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Nearest-neighbour resize (no scipy/PIL dependency on the hot path)."""
+    """Nearest-neighbour resize (no scipy/PIL dependency on the hot path).
+
+    np.take per axis is ~3.5x faster than chained fancy indexing here
+    (measured 1.3 vs 4.6 ms at 1100x850x3 -> 512x512) — the resize was the
+    single largest term in the ingest host profile."""
     ys = np.clip((np.arange(h) * img.shape[0] / h).astype(int), 0, img.shape[0] - 1)
     xs = np.clip((np.arange(w) * img.shape[1] / w).astype(int), 0, img.shape[1] - 1)
-    return img[ys][:, xs]
+    return img.take(ys, axis=0).take(xs, axis=1)
 
 
 @dataclasses.dataclass
@@ -233,7 +237,9 @@ class ImageProcessor:
             out = fixed
         return out.astype(np.float32)
 
-    def process_images(self, images: Sequence, prompt: str = "Describe the image.") -> ProcessedImages:
+    def process_images(self, images: Sequence,
+                       prompt: str = "Describe the image.",
+                       pooled: bool = False) -> ProcessedImages:
         per_image = []
         for img in images:
             # rescale (1/255, in _to_array) then HF normalize (x - mean)/std
@@ -261,18 +267,38 @@ class ImageProcessor:
         # image tokens after merge (colqwen merges 4 patches -> 1 token)
         n_img_tokens = [info["num_visual_tokens"] for _, info in per_image]
         seq = _round_up(max(n_img_tokens) + len(prompt_ids), 64)
-        patches = np.zeros((b, n_patches, self.patch_pixels), dtype=np.float32)
-        patch_mask = np.zeros((b, n_patches), dtype=bool)
-        input_ids = np.zeros((b, seq), dtype=np.int32)
-        attn_mask = np.zeros((b, seq), dtype=bool)
+        if pooled:
+            # warm pooled buffers: the [B, N, patch_pixels] f32 batch buffer
+            # is ~88 MB at full ColSmol shape and a fresh np.zeros page-
+            # faults its way through every batch (utils/hostbuf.py). Only
+            # the big patch buffer skips the full fill — its pad region is
+            # zeroed per image. Opt-in: the returned arrays are REUSED four
+            # ``pooled=True`` same-shape calls later (the embedder's 1-deep
+            # pipeline holds at most two batches; external callers that
+            # retain ProcessedImages should use the default).
+            from visual_rag_tpu.utils.hostbuf import HOST_POOL as _pool
+
+            def buf(shape, dtype, fill=None):
+                # fill=None: pad region is zeroed by the fill loop below
+                return _pool.get(shape, dtype, fill=fill)
+        else:
+            def buf(shape, dtype, fill=None):
+                return np.full(shape, 0 if fill is None else fill, dtype)
+
+        patches = buf((b, n_patches, self.patch_pixels), np.float32)
+        patch_mask = buf((b, n_patches), bool, fill=False)
+        input_ids = buf((b, seq), np.int32, fill=0)
+        attn_mask = buf((b, seq), bool, fill=False)
         has_segments = any(info.get("_window_ids") is not None for _, info in per_image)
-        window_ids = np.full((b, n_patches), -1, dtype=np.int32) if has_segments else None
+        window_ids = (buf((b, n_patches), np.int32, fill=-1)
+                      if has_segments else None)
         has_pos = any(info.get("_patch_positions") is not None for _, info in per_image)
-        patch_positions = (np.zeros((b, n_patches, 2), dtype=np.int32)
+        patch_positions = (buf((b, n_patches, 2), np.int32, fill=0)
                            if has_pos else None)
         infos = []
         for i, (p, info) in enumerate(per_image):
             patches[i, : p.shape[0]] = p
+            patches[i, p.shape[0]:] = 0.0
             patch_mask[i, : p.shape[0]] = True
             if window_ids is not None and info.get("_window_ids") is not None:
                 window_ids[i, : p.shape[0]] = info.pop("_window_ids")

@@ -64,40 +64,9 @@ def pad_queries(queries: Sequence[np.ndarray], dim: int, eps: float = 1e-8):
     return jax.device_put((tokens, mask, pooled))
 
 
-class _WirePool:
-    """Rotating preallocated host buffers for the query wire.
-
-    Fresh numpy allocations page-fault at ~65us/page on this host (measured:
-    a 16 MB np.concatenate costs 267 ms cold vs 5 ms copying into a warm
-    buffer), so the wire builders reuse warmed buffers keyed by (shape,
-    dtype). Rotation depth 4 exceeds the engine's pipeline depth (2), so a
-    buffer is never mutated while its device_put transfer may still be in
-    flight. Engine batch-size bucketing keeps the number of distinct shapes
-    (and thus resident buffers) small.
-
-    Not thread-safe by design: all engine dispatches funnel through one
-    thread (the serving batcher is a single worker; the engine itself is
-    documented single-dispatcher)."""
-
-    def __init__(self, depth: int = 4):
-        self.depth = depth
-        self._slots: dict = {}
-
-    def get(self, shape, dtype) -> np.ndarray:
-        key = (tuple(shape), np.dtype(dtype).str)
-        slot = self._slots.get(key)
-        if slot is None:
-            slot = self._slots[key] = [
-                [np.zeros(shape, dtype) for _ in range(self.depth)], 0]
-        bufs, i = slot
-        slot[1] = (i + 1) % self.depth
-        return bufs[i]
-
-    def clear(self):
-        self._slots.clear()
-
-
-_WIRE_POOL = _WirePool()
+# rotating warm host buffers for the query wire (page-fault profile and
+# safety contract: utils/hostbuf.py)
+from visual_rag_tpu.utils.hostbuf import HOST_POOL as _WIRE_POOL  # noqa: E402
 
 
 def _flat_positions(lens: np.ndarray, stride: int) -> np.ndarray:
@@ -156,7 +125,11 @@ def pad_queries_raw(queries: Sequence[np.ndarray], dim: int,
             tokens[r0:r0 + n] = q
             tokens[r0 + n:r0 + nq] = 0
             mask[r0:r0 + n] = 1.0
-    return jax.device_put((tokens.reshape(b, nq, dim), mask.reshape(b, nq)))
+    out = jax.device_put((tokens.reshape(b, nq, dim), mask.reshape(b, nq)))
+    # the put's h->d copy is async: block on it before these buffers recycle
+    _WIRE_POOL.guard(tokens, out[0])
+    _WIRE_POOL.guard(mask, out[1])
+    return out
 
 
 def pack_queries_grouped(queries: Sequence[np.ndarray], dim: int,
@@ -231,7 +204,11 @@ def pack_queries_grouped(queries: Sequence[np.ndarray], dim: int,
     qid = _WIRE_POOL.get((g, rg), np.int32)
     qid.fill(-1)
     qid.reshape(-1)[packed_pos] = (qidx % group).astype(np.int32)
-    return jax.device_put((packed, pos, qid)), nq, rg
+    out = jax.device_put((packed, pos, qid))
+    # the put's h->d copy is async: block on it before these buffers recycle
+    for host_buf, dev in zip((packed, pos, qid), out):
+        _WIRE_POOL.guard(host_buf, dev)
+    return out, nq, rg
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,68 @@
+"""Rotating preallocated host buffers for hot per-batch numpy staging.
+
+Fresh numpy allocations page-fault at ~65 us/page on this host (measured in
+the r4 wire profile: a 16 MB np.concatenate costs 267 ms cold vs 5 ms
+copying into a warm buffer; an 88 MB per-batch patch buffer pays the same
+tax on the ingest path), so the hot wire/ingest builders reuse warmed
+buffers keyed by (shape, dtype).
+
+jax.device_put's host->device copy is ASYNCHRONOUS — mutating the numpy
+source right after it returns corrupts the device array (measured 13/20
+times on the CPU backend; caught by
+tests/test_packed_wire.py::test_pool_wrap_no_aliasing). Two defenses:
+rotation depth 8 exceeds any practical pipeline depth, and ``guard()``
+records the device array a buffer was shipped as so ``get()`` blocks on
+that transfer before recycling the buffer (a no-op by the time a slot
+comes around again in normal pipelining).
+
+Batch bucketing (engine batch sizes, processor patch-count buckets) keeps
+the number of distinct shapes — and thus resident buffers — small.
+
+Not thread-safe by design: all engine dispatches funnel through one thread
+(the serving batcher is a single worker; the engine itself is documented
+single-dispatcher), and ingest preprocessing runs on the caller's thread.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class HostBufferPool:
+    def __init__(self, depth: int = 8):
+        self.depth = depth
+        self._slots: dict = {}
+        self._pending: dict = {}  # id(buf) -> device array it was shipped as
+
+    def get(self, shape, dtype, fill=None) -> np.ndarray:
+        """A warm buffer of (shape, dtype); ``fill`` (if given) overwrites
+        every element — callers that fill sparsely must zero pad regions
+        themselves (stale data from eight batches ago otherwise leaks)."""
+        key = (tuple(shape), np.dtype(dtype).str)
+        slot = self._slots.get(key)
+        if slot is None:
+            slot = self._slots[key] = [
+                [np.zeros(shape, dtype) for _ in range(self.depth)], 0]
+        bufs, i = slot
+        slot[1] = (i + 1) % self.depth
+        buf = bufs[i]
+        pending = self._pending.pop(id(buf), None)
+        if pending is not None:
+            import jax
+
+            jax.block_until_ready(pending)  # transfer must finish first
+        if fill is not None:
+            buf.fill(fill)
+        return buf
+
+    def guard(self, buf: np.ndarray, device_array) -> None:
+        """Record that ``buf`` was device_put as ``device_array``: the next
+        recycle of ``buf`` blocks until that transfer is complete."""
+        self._pending[id(buf)] = device_array
+
+    def clear(self):
+        self._slots.clear()
+        self._pending.clear()
+
+
+HOST_POOL = HostBufferPool()
