@@ -97,4 +97,34 @@ assert e.search_embedded(q, mode="two_stage", filter_obj=build_filter(year=1900)
 assert len(e.search_embedded(q, mode="single_full", top_k=500, with_payload=False)) == 50
 empty = RetrievalEngine(IndexBuilder(CollectionSchema.standard()).seal())
 assert empty.search_embedded(q) == []
+print("edge probes ok", flush=True)
+
+# r4 paths: packed query wire + scan rerank must match the padded/plain
+# engine id-for-id (same math, different transport/stage-2 layout)
+qs32 = [rng.standard_normal((int(rng.integers(8, 25)), 128)).astype(np.float32)
+        for _ in range(32)]
+ep = RetrievalEngine(e.index, query_wire="packed", rerank_impl="scan")
+for res, ref in zip(
+        ep.search_embedded_batch(qs32, mode="two_stage", top_k=5,
+                                 prefetch_k=50, with_payload=False),
+        e.search_embedded_batch(qs32, mode="two_stage", top_k=5,
+                                prefetch_k=50, with_payload=False)):
+    got, want = {h["id"] for h in res}, {h["id"] for h in ref}
+    assert len(got & want) >= 4, (got, want)  # bf16 boundary ties allowed
+print("packed/scan parity ok", flush=True)
+
+# r4 sharded engine on the real chip (1-shard mesh), packed wire + scan
+from visual_rag_tpu.parallel import ShardedEngine, ShardedIndex, make_mesh  # noqa: E402
+
+mesh = make_mesh((1,), ("data",))
+sp = ShardedEngine(ShardedIndex.from_index(e.index, mesh),
+                   use_pallas=True, query_wire="packed", rerank_impl="scan")
+for res, ref in zip(
+        sp.search_embedded_batch(qs32, mode="two_stage", top_k=5,
+                                 prefetch_k=50, with_payload=False),
+        e.search_embedded_batch(qs32, mode="two_stage", top_k=5,
+                                prefetch_k=50, with_payload=False)):
+    got, want = {h["id"] for h in res}, {h["id"] for h in ref}
+    assert len(got & want) >= 4, (got, want)
+print("sharded packed/scan parity ok", flush=True)
 print(f"VERIFY_OK in {time.time()-t0:.1f}s", flush=True)

@@ -116,6 +116,28 @@ class TestQuality:
                                        prefetch_k=len(points), with_payload=False)
             assert [h["id"] for h in full] == [h["id"] for h in wide]
 
+    def test_scan_rerank_composes_with_refine(self, corpus):
+        """rerank_impl='scan' gives int8-precision exhaustive scores; the
+        int4-residual refine pass then re-scores the top window — results
+        must match the plain-rerank refined engine exactly (same int8 cut,
+        same refine math)."""
+        points, queries = corpus
+        idx = _build(points, "int8_refined")
+        ep = RetrievalEngine(idx, compute_dtype="float32",
+                             query_wire="packed", rerank_impl="plain")
+        es = RetrievalEngine(idx, compute_dtype="float32",
+                             query_wire="packed", rerank_impl="scan")
+        qs = queries[:16]
+        a = ep.search_embedded_batch(qs, mode="two_stage", top_k=10,
+                                     prefetch_k=100, with_payload=False)
+        b = es.search_embedded_batch(qs, mode="two_stage", top_k=10,
+                                     prefetch_k=100, with_payload=False)
+        for ra, rb in zip(a, b):
+            assert {h["id"] for h in ra} == {h["id"] for h in rb}
+            np.testing.assert_allclose(
+                sorted(h["score_final"] for h in ra),
+                sorted(h["score_final"] for h in rb), atol=5e-5)
+
     def test_three_stage_runs_refined(self, corpus):
         points, queries = corpus
         eng = RetrievalEngine(_build(points, "int8_refined"), compute_dtype="float32")

@@ -63,6 +63,53 @@ class TestShardedMatchesSingle:
                 [r["score_final"] for r in sr],
                 [r["score_final"] for r in rr], rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("mode,kw", [
+        ("single_full", {}),
+        ("two_stage", dict(prefetch_k=12,
+                           stage1_mode="tokens_vs_experimental_pooling")),
+        ("three_stage", dict(stage1_k=20, stage2_k=9)),
+    ], ids=["single_full", "two_stage", "three_stage"])
+    def test_packed_wire_matches_single(self, setup, mode, kw):
+        """Sharded PACKED wire (r4): ids must match the single-device engine
+        exactly, like the padded wire does (the packed wire is transport +
+        stage-1 M-packing only)."""
+        engine, _sengine, queries = setup
+        from visual_rag_tpu.parallel import ShardedIndex, make_mesh
+
+        mesh = make_mesh((8,), ("data",))
+        sp = ShardedEngine(
+            ShardedIndex.from_index(engine.index, mesh),
+            use_pallas=False, query_wire="packed")
+        qs = queries * 8  # b=32: the packed group covers multiple queries
+        sharded = sp.search_embedded_batch(qs, mode=mode, top_k=5,
+                                           with_payload=False, **kw)
+        reference = engine.search_embedded_batch(qs, mode=mode, top_k=5,
+                                                 with_payload=False, **kw)
+        for sr, rr in zip(sharded, reference):
+            assert {h["id"] for h in sr} == {h["id"] for h in rr}
+            np.testing.assert_allclose(
+                sorted(h["score_final"] for h in sr),
+                sorted(h["score_final"] for h in rr), atol=5e-5)
+
+    def test_packed_scan_rerank_matches(self, setup):
+        """Packed wire + forced scan rerank on the 8-shard mesh: each shard
+        scans its local store once and gathers merged candidates."""
+        engine, _sengine, queries = setup
+        from visual_rag_tpu.parallel import ShardedIndex, make_mesh
+
+        mesh = make_mesh((8,), ("data",))
+        sp = ShardedEngine(
+            ShardedIndex.from_index(engine.index, mesh),
+            use_pallas=False, query_wire="packed", rerank_impl="scan")
+        qs = queries * 8
+        sharded = sp.search_embedded_batch(qs, mode="two_stage", top_k=5,
+                                           prefetch_k=12, with_payload=False)
+        reference = engine.search_embedded_batch(qs, mode="two_stage", top_k=5,
+                                                 prefetch_k=12,
+                                                 with_payload=False)
+        for sr, rr in zip(sharded, reference):
+            assert {h["id"] for h in sr} == {h["id"] for h in rr}
+
     def test_three_stage_provenance(self, setup):
         engine, sengine, queries = setup
         sharded = sengine.search_embedded_batch(

@@ -651,6 +651,7 @@ class ShardedEngine(EngineCommon):
         use_pallas: Optional[bool] = None,
         stage1_cut: str = "auto",
         rerank_impl: str = "auto",
+        query_wire: str = "auto",
     ):
         self.sindex = sindex
         self.full_vector_name = full_vector_name
@@ -667,6 +668,10 @@ class ShardedEngine(EngineCommon):
             raise ValueError(
                 f"rerank_impl must be auto|plain|dedup|sweep|scan, got {rerank_impl}")
         self.rerank_impl = rerank_impl
+        if query_wire not in ("auto", "padded", "packed"):
+            raise ValueError(
+                f"query_wire must be auto|padded|packed, got {query_wire}")
+        self.query_wire = query_wire
         self._plans: Dict[Any, Any] = {}
 
     def _cut_corpus_size(self) -> int:
@@ -751,17 +756,21 @@ class ShardedEngine(EngineCommon):
         si = self.sindex
         return si.mesh, si.axis, si.docs_per_shard, si.max_len, self.use_pallas
 
-    def _plan_single(self, kind: str, k: int):
+    def _plan_single(self, kind: str, k: int, wire: str = "padded",
+                     b: int = 0, nq: int = 0):
         mesh, axis, ds, max_len, use_pallas = self._specs()
         kl = min(k, ds)
 
-        def body(s1, ragged, mask, tokens_raw, qmask):
-            from visual_rag_tpu.retrieval.plans import _prep_queries
+        def body(s1, ragged, mask, *qwire):
+            from visual_rag_tpu.retrieval.plans import _prep_wire
 
             s1, ragged, mask = _strip(s1), _strip(ragged), _strip(mask)
-            tokens, pooled = _prep_queries(tokens_raw, qmask)
+            q3 = qwire[2] if len(qwire) > 2 else None
+            tokens, qmask, pooled, packed = _prep_wire(
+                qwire[0], qwire[1], q3, wire, b, nq)
             scores = _local_stage1(
-                kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas)
+                kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
+                use_pallas, packed=packed)
             scores = jnp.where(mask > 0, scores, NEG_INF)
             base = jax.lax.axis_index(axis) * ds
             if kind == "tokens_ragged" and ragged.get("res4") is not None:
@@ -777,26 +786,31 @@ class ShardedEngine(EngineCommon):
             gids = jnp.where(v > NEG_INF / 2, base + i, -1)
             return _merge_topk(v, gids, k, axis)
 
+        n_q = 3 if wire == "packed" else 2
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis)) + (P(),) * n_q,
             out_specs=(P(), P()),
             check_vma=False,  # merged outputs are replicated by construction
         )
         return jax.jit(fn)
 
-    def _plan_two_stage(self, kind: str, pk: int, k: int, impl: str = "plain"):
+    def _plan_two_stage(self, kind: str, pk: int, k: int, impl: str = "plain",
+                        wire: str = "padded", b: int = 0, nq: int = 0):
         mesh, axis, ds, max_len, use_pallas = self._specs()
         pk_local = min(pk, ds)
         approx = self._approx_cut(pk_local)
 
-        def body(s1, ragged, mask, tokens_raw, qmask):
-            from visual_rag_tpu.retrieval.plans import _prep_queries
+        def body(s1, ragged, mask, *qwire):
+            from visual_rag_tpu.retrieval.plans import _prep_wire
 
             s1, ragged, mask = _strip(s1), _strip(ragged), _strip(mask)
-            tokens, pooled = _prep_queries(tokens_raw, qmask)
+            q3 = qwire[2] if len(qwire) > 2 else None
+            tokens, qmask, pooled, packed = _prep_wire(
+                qwire[0], qwire[1], q3, wire, b, nq)
             scores = _local_stage1(
-                kind, s1, ragged, tokens, qmask, pooled, ds, max_len, use_pallas)
+                kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
+                use_pallas, packed=packed)
             scores = jnp.where(mask > 0, scores, NEG_INF)
             if approx and pk_local < ds:
                 v1, i1 = jax.lax.approx_max_k(scores, pk_local)
@@ -809,7 +823,7 @@ class ShardedEngine(EngineCommon):
             in_range = (local >= 0) & (local < ds) & (merged >= 0)
             cand = jnp.where(in_range, local, -1).astype(jnp.int32)
             rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
-                               impl=impl)
+                               impl=impl, packed=packed)
             full = jax.lax.pmax(rr, axis)  # each candidate valid on one shard
             if ragged.get("res4") is not None:
                 # two-pass: the GLOBAL int8 window is refined shard-locally
@@ -829,16 +843,18 @@ class ShardedEngine(EngineCommon):
             ids = jnp.take_along_axis(merged, pos, axis=1)
             return vals, jnp.where(vals > NEG_INF / 2, ids, -1)
 
+        n_q = 3 if wire == "packed" else 2
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis)) + (P(),) * n_q,
             out_specs=(P(), P()),
             check_vma=False,  # merged outputs are replicated by construction
         )
         return jax.jit(fn)
 
     def _plan_three_stage(self, s1k: int, s2k: int, k: int,
-                          impl: str = "plain"):
+                          impl: str = "plain",
+                          wire: str = "padded", b: int = 0, nq: int = 0):
         mesh, axis, ds, max_len, use_pallas = self._specs()
         s1k_local = min(s1k, ds)
         approx = self._approx_cut(s1k_local)
@@ -848,12 +864,14 @@ class ShardedEngine(EngineCommon):
                 return jax.lax.approx_max_k(scores, kl)
             return jax.lax.top_k(scores, kl)
 
-        def body(gstore, estore, ragged, mask, tokens_raw, qmask):
-            from visual_rag_tpu.retrieval.plans import _prep_queries
+        def body(gstore, estore, ragged, mask, *qwire):
+            from visual_rag_tpu.retrieval.plans import _prep_wire
 
             gstore, estore, ragged, mask = (
                 _strip(gstore), _strip(estore), _strip(ragged), _strip(mask))
-            tokens, pooled = _prep_queries(tokens_raw, qmask)
+            q3 = qwire[2] if len(qwire) > 2 else None
+            tokens, qmask, pooled, packed = _prep_wire(
+                qwire[0], qwire[1], q3, wire, b, nq)
             base = jax.lax.axis_index(axis) * ds
             # stage 1: pooled query vs global vectors
             sc1 = _local_pooled_single(gstore, pooled)
@@ -878,7 +896,7 @@ class ShardedEngine(EngineCommon):
             ok2 = (loc2 >= 0) & (loc2 < ds) & (m2_ids >= 0)
             cand = jnp.where(ok2, loc2, -1).astype(jnp.int32)
             rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
-                               impl=impl)
+                               impl=impl, packed=packed)
             full = jax.lax.pmax(rr, axis)
             if ragged.get("res4") is not None:
                 rk = _refine_window(kk, full.shape[1])
@@ -908,9 +926,10 @@ class ShardedEngine(EngineCommon):
             s2_at = jnp.take_along_axis(v2, pos, axis=1)  # already replicated
             return vals, ids, s1_at, s2_at
 
+        n_q = 3 if wire == "packed" else 2
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis), P(axis)) + (P(),) * n_q,
             out_specs=(P(), P(), P(), P()),
             check_vma=False,  # merged outputs are replicated by construction
         )
@@ -982,21 +1001,40 @@ class ShardedEngine(EngineCommon):
         dim = next(iter(si.stores.values()))
         dim = list(dim.values())[0].shape[-1]
         # f32 wire (r4): the host-side f16 cast costs more than the saved
-        # transfer on this 1-core host — see batch._WirePool / engine.py
+        # transfer on this 1-core host — see utils/hostbuf.py / engine.py
         wire = np.float32
-        tokens, qmask = BATCH.pad_queries_raw(query_embeddings, dim,
-                                              wire_dtype=wire)
+        b_real = len(query_embeddings)
+        use_packed = (self.query_wire == "packed"
+                      or (self.query_wire == "auto" and self.use_pallas
+                          and b_real >= 32))
+        if use_packed:
+            (q1, q2, q3), nq, _rg = BATCH.pack_queries_grouped(
+                query_embeddings, dim, wire_dtype=wire)
+            qwire, wire_kind = (q1, q2, q3), "packed"
+            wire_key = ("packed", b_real, int(q1.shape[0]), int(q3.shape[1]))
+        else:
+            q1, q2 = BATCH.pad_queries_raw(query_embeddings, dim,
+                                           wire_dtype=wire)
+            nq = int(q1.shape[1])
+            qwire, wire_kind = (q1, q2), "padded"
+            wire_key = ("padded", q1.shape)
         mask = si.doc_mask_shards(filter_obj)
         ragged = si.stores[self.full_vector_name]
         d = si.num_docs
+        # scan policy on GLOBAL counts: per shard both sides divide by n
+        # (candidates/shard ~ B*K/n, scan cost/shard ~ D/n), so the global
+        # ratio is the per-shard ratio
+        scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0])}
+                     if wire_kind == "packed" else {})
 
         if mode.startswith("single_"):
             kind, name = self._mode_store(mode)
             k = max(1, min(int(top_k), d))
             plan = self._get_plan(
-                ("single", kind, name, k, tokens.shape, self.stage1_cut),
-                lambda: self._plan_single(kind, k))
-            vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
+                ("single", kind, name, k, wire_key, self.stage1_cut),
+                lambda: self._plan_single(kind, k, wire=wire_kind,
+                                          b=b_real, nq=nq))
+            vals, ids = plan(si.stores[name], ragged, mask, *qwire)
             return ("done", len(query_embeddings), with_payload,
                     return_arrays, {"ids": ids, "score": vals})
 
@@ -1006,13 +1044,14 @@ class ShardedEngine(EngineCommon):
             kind, name = self._stage1_kind(stage1_mode)
             pk = max(1, min(int(prefetch_k), d))
             k = max(1, min(int(top_k), pk))
-            ri = (self._rerank_impl(len(query_embeddings), pk)
+            ri = (self._rerank_impl(b_real, pk, **scan_geom)
                   if self.use_pallas else "plain")
             plan = self._get_plan(
-                ("two_stage", kind, name, pk, k, tokens.shape,
+                ("two_stage", kind, name, pk, k, wire_key,
                  self.stage1_cut, ri),
-                lambda: self._plan_two_stage(kind, pk, k, impl=ri))
-            vals, ids = plan(si.stores[name], ragged, mask, tokens, qmask)
+                lambda: self._plan_two_stage(kind, pk, k, impl=ri,
+                                             wire=wire_kind, b=b_real, nq=nq))
+            vals, ids = plan(si.stores[name], ragged, mask, *qwire)
             return ("done", len(query_embeddings), with_payload,
                     return_arrays,
                     {"ids": ids, "score_stage2": vals, "score_final": vals})
@@ -1020,15 +1059,16 @@ class ShardedEngine(EngineCommon):
         s1k = max(1, min(int(stage1_k or 1000), d))
         s2k = max(1, min(int(stage2_k or 300), d))
         k = max(1, min(int(top_k), s2k))
-        ri3 = (self._rerank_impl(len(query_embeddings), s2k)
+        ri3 = (self._rerank_impl(b_real, s2k, **scan_geom)
                if self.use_pallas else "plain")
         plan = self._get_plan(
-            ("three_stage", s1k, s2k, k, tokens.shape, self.stage1_cut, ri3),
-            lambda: self._plan_three_stage(s1k, s2k, k, impl=ri3))
+            ("three_stage", s1k, s2k, k, wire_key, self.stage1_cut, ri3),
+            lambda: self._plan_three_stage(s1k, s2k, k, impl=ri3,
+                                           wire=wire_kind, b=b_real, nq=nq))
         vals, ids, s1_at, s2_at = plan(
             si.stores[self.global_vector_name],
             si.stores[self.experimental_vector_name],
-            ragged, mask, tokens, qmask)
+            ragged, mask, *qwire)
         return ("done", len(query_embeddings), with_payload, return_arrays,
                 {"ids": ids, "score_stage3": vals, "score_final": vals,
                  "score_stage1": s1_at, "score_stage2": s2_at})
