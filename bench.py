@@ -231,10 +231,13 @@ def main():
     with _lock:
         _state["deadline"] = deadline
 
-    # Correctness oracle (budget-gated; runs after the first measurement so
-    # it can never block getting a number): two_stage with prefetch covering
-    # the whole corpus must rank like the exhaustive scan.
-    if _elapsed() < deadline - 60:
+    # Correctness oracle (runs after the first measurement so it can never
+    # block getting a number): two_stage with prefetch covering the whole
+    # corpus must rank like the exhaustive scan. Gate on the HARD cap only —
+    # it costs ~2 dispatches, and "oracle_ok": null under host load is worse
+    # than spending the seconds (r4: a contended-CPU smoke run skipped it
+    # when warm-up ate the soft deadline).
+    if _elapsed() < HARD_CAP_S - 45:
         _stage("oracle")
         try:
             oq = queries[: min(256, len(queries))]

@@ -21,6 +21,10 @@ def _env(**over):
     env.pop("BENCH_T0", None)  # fresh budget per test
     env.pop("BENCH_ATTEMPT", None)
     env.pop("PYTHONPATH", None)
+    # conftest exports an 8-virtual-device XLA_FLAGS into the pytest process;
+    # the driver runs bench.py without it, and 8 CPU "devices" contending for
+    # this host's one core stretched warm-up past the oracle gate mid-suite.
+    env.pop("XLA_FLAGS", None)
     env.update(
         VISUALRAG_PLATFORM="cpu",
         JAX_PLATFORMS="cpu",  # the session env carries axon; never inherit it
@@ -40,10 +44,11 @@ def _parse_line(stdout: str) -> dict:
 def test_bench_emits_json_and_oracle():
     proc = subprocess.run(
         [sys.executable, str(BENCH)],
-        # TAIL_S=120 keeps the oracle gate open (it needs deadline-60 of
-        # headroom); main() falls through well before the deadline because
-        # the rung ladder is gated out at this budget.
-        cwd=REPO, env=_env(BENCH_BUDGET_S=25, BENCH_TAIL_S=120,
+        # TAIL_S=60 gates out the 256-round repeats AND the rung ladder
+        # (their lead gates need >=100 s of tail), so the run is
+        # warm -> quick -> oracle -> done; the oracle itself only needs
+        # HARD_CAP-45 of headroom since the r4 gate fix.
+        cwd=REPO, env=_env(BENCH_BUDGET_S=25, BENCH_TAIL_S=60,
                            BENCH_HARD_CAP_S=300),
         capture_output=True, text=True, timeout=280,
     )

@@ -388,3 +388,55 @@ class TestExhaustiveScanKernel:
             store.max_len, b=8, doc_scales=store.scales, group=4, n_slots=2,
             m_tile=256, interpret=True))
         np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+    def test_qdot_int8_kernel_matches_xla(self, rng):
+        """int8-quantized-query scan (int8 x int8 -> int32 MXU dot): the
+        Pallas kernel and the XLA packed path share the quantization math
+        and must agree to f32 rounding; both must stay within the int8
+        noise floor of the bf16-query scores."""
+        from visual_rag_tpu.index import CollectionSchema, IndexBuilder
+        from visual_rag_tpu.ops.kernels.maxsim_scan import (
+            exhaustive_scores_packed,
+        )
+        from visual_rag_tpu.retrieval import batch as B
+
+        schema = CollectionSchema.standard(storage_dtype="int8", dim=DIM)
+        builder = IndexBuilder(schema)
+        for i in range(17):
+            n = int(rng.integers(2, 40))
+            builder.add(f"d{i}", {
+                "initial": rng.standard_normal((n, DIM)).astype(np.float32),
+                "mean_pooling": rng.standard_normal((3, DIM)).astype(np.float32),
+                "experimental_pooling": rng.standard_normal((5, DIM)).astype(np.float32),
+                "global_pooling": rng.standard_normal((DIM,)).astype(np.float32),
+            })
+        store = builder.seal().store("initial")
+        qs = [rng.standard_normal((int(rng.integers(4, 16)), DIM)).astype(np.float32)
+              for _ in range(8)]
+        pk = self._packed(qs, 8, group=4)
+        ref_q = np.asarray(B.xla_exhaustive_packed(
+            store.flat, store.offsets, store.lengths, pk["q"], pk["seg"],
+            store.max_len, scales=store.scales, chunk=8, qdot_int8=True))
+        got_q = np.asarray(exhaustive_scores_packed(
+            store.flat, store.offsets, store.lengths, pk["q"], pk["qid"],
+            store.max_len, b=8, doc_scales=store.scales, group=4,
+            interpret=True, qdot_int8=True))
+        np.testing.assert_allclose(got_q, ref_q, rtol=1e-5, atol=1e-5)
+        base = np.asarray(B.xla_exhaustive_packed(
+            store.flat, store.offsets, store.lengths, pk["q"], pk["seg"],
+            store.max_len, scales=store.scales, chunk=8))
+        assert np.abs(ref_q - base).max() < 2e-2
+
+    def test_qdot_rejects_float_store(self, small_index, rng):
+        from visual_rag_tpu.ops.kernels.maxsim_scan import (
+            exhaustive_scores_packed,
+        )
+
+        store = small_index.store("initial")
+        qs = [rng.standard_normal((6, DIM)).astype(np.float32)
+              for _ in range(8)]
+        pk = self._packed(qs, 8, group=4)
+        with pytest.raises(ValueError, match="int8 store"):
+            exhaustive_scores_packed(
+                store.flat, store.offsets, store.lengths, pk["q"], pk["qid"],
+                store.max_len, b=8, group=4, interpret=True, qdot_int8=True)

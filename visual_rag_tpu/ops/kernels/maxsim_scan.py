@@ -47,6 +47,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30  # python float: jnp scalars would be captured consts
 
 
+def quantize_queries_int8(qpacked: jnp.ndarray):
+    """Per-row symmetric int8 quantization of packed query tokens.
+
+    Returns (codes int8 [M, dim], scales f32 [M]) with
+    ``codes[r] * scales[r] ~= qpacked[r]``. Scales are positive, so they
+    commute with the per-token max over doc rows and can be folded into the
+    per-query ownership matmul — the int8 x int8 -> int32 dot then runs at
+    the MXU's doubled int8 rate (v5e: 394 TOPS vs 197 bf16 TFLOPS) and is
+    EXACT integer arithmetic (max |dot| ~ 127*127*128 << 2^31); the only
+    approximation vs the bf16-query path is the query rounding itself,
+    which is the same order as the bf16 cast it replaces (~2^-8 relative).
+    """
+    q = qpacked.astype(jnp.float32)
+    s = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    codes = jnp.clip(jnp.round(q / s), -127.0, 127.0).astype(jnp.int8)
+    return codes, s[:, 0]
+
+
 def scan_kernel_fits(m, dim, max_len, flat_dtype, group=16, rg_hint=1024,
                      limit=12 * 2**20):
     """VMEM estimate for the streaming scan kernel: 2 doc-window banks +
@@ -64,9 +83,10 @@ def scan_kernel_fits(m, dim, max_len, flat_dtype, group=16, rg_hint=1024,
     return vmem <= limit
 
 
-def _make_kernel(max_len: int, group: int, gq: int, rg: int):
+def _make_kernel(max_len: int, group: int, gq: int, rg: int,
+                 qdot: bool = False):
 
-    def kernel(off_ref, len_ref, scale_ref, q_ref, qid_ref, flat_hbm,
+    def kernel(off_ref, len_ref, scale_ref, q_ref, qid_ref, qs_ref, flat_hbm,
                out_ref, stack, docs, sems):
         blk = pl.program_id(0)
         gi = pl.program_id(1)
@@ -107,11 +127,21 @@ def _make_kernel(max_len: int, group: int, gq: int, rg: int):
             # row max — applied to the max row, once, in SMEM-scalar form
             sc = scale_ref[blk * group + g]
             d = docs[bank * group + g]  # [MAX_LEN, dim] dynamic-slot read
-            sims = jax.lax.dot_general(
-                d.astype(q_t.dtype), q_t,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [MAX_LEN, Rg]
+            if qdot:
+                # int8 x int8 -> int32: exact integer MXU dot at 2x the
+                # bf16 rate; the per-row query scale is folded into the
+                # ownership matmul below (positive -> commutes with max)
+                sims = jax.lax.dot_general(
+                    d, q_t,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)  # [MAX_LEN, Rg]
+            else:
+                sims = jax.lax.dot_general(
+                    d.astype(q_t.dtype), q_t,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [MAX_LEN, Rg]
             sims = jnp.where(row < ln, sims, NEG_INF)
             best = jnp.max(sims, axis=0, keepdims=True)  # [1, Rg]
             stack[pl.ds(g, 1), :] = jnp.where(ln > 0, best * sc, 0.0)
@@ -121,6 +151,8 @@ def _make_kernel(max_len: int, group: int, gq: int, rg: int):
         owner = qid_ref[0]  # [1, Rg] int32 (-1 = pad row)
         seg = (jax.lax.broadcasted_iota(jnp.int32, (gq, rg), 0)
                == owner).astype(jnp.float32)
+        if qdot:  # fold per-row query scales into the ownership weights
+            seg = seg * qs_ref[0]  # [gq, Rg] * [1, Rg]
         scores = jax.lax.dot_general(
             seg, stack[...],
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -132,7 +164,7 @@ def _make_kernel(max_len: int, group: int, gq: int, rg: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_len", "b", "group", "n_slots", "m_tile", "interpret"))
+    "max_len", "b", "group", "n_slots", "m_tile", "interpret", "qdot_int8"))
 def exhaustive_scores_packed(
     flat: jnp.ndarray,  # [N + pad, dim] ragged store (bf16/f32/int8 codes)
     offsets: jnp.ndarray,  # [D] int32
@@ -146,9 +178,12 @@ def exhaustive_scores_packed(
     n_slots: int = 4,  # unused (kept for call compatibility)
     m_tile: int = 1024,  # unused (kept for call compatibility)
     interpret: bool = False,
+    qdot_int8: bool = False,  # int8 store: quantize queries, int8 MXU dot
 ) -> jnp.ndarray:
     """Exact MaxSim scores [B, D] f32 of every query against every doc."""
     del n_slots, m_tile
+    if qdot_int8 and flat.dtype != jnp.int8:
+        raise ValueError("qdot_int8 requires an int8 store")
     max_len = ((int(max_len) + 31) // 32) * 32
     g_q, rg = qid.shape
     gq = b // g_q
@@ -169,8 +204,13 @@ def exhaustive_scores_packed(
                          constant_values=1.0) if d_pad != d else \
             doc_scales.astype(jnp.float32)
     cd = jnp.bfloat16 if flat.dtype == jnp.int8 else flat.dtype
-    kern = _make_kernel(max_len, group, gq, rg)
-    qc = qpacked.astype(cd)
+    kern = _make_kernel(max_len, group, gq, rg, qdot=qdot_int8)
+    if qdot_int8:
+        qc, qs = quantize_queries_int8(qpacked)
+        qsc = qs.reshape(g_q, 1, rg)
+    else:
+        qc = qpacked.astype(cd)
+        qsc = jnp.ones((g_q, 1, rg), jnp.float32)  # ignored by the kernel
     qidc = jnp.asarray(qid, jnp.int32).reshape(g_q, 1, rg)
 
     def run_chunk(offs_c, lens_c, scales_c):
@@ -183,6 +223,8 @@ def exhaustive_scores_packed(
                              memory_space=pltpu.VMEM),  # streamed query tile
                 pl.BlockSpec((1, 1, rg), lambda blk, gi, *_: (gi, 0, 0),
                              memory_space=pltpu.VMEM),  # this group's qid row
+                pl.BlockSpec((1, 1, rg), lambda blk, gi, *_: (gi, 0, 0),
+                             memory_space=pltpu.VMEM),  # per-row qdot scales
                 pl.BlockSpec(memory_space=pl.ANY),  # flat stays in HBM
             ],
             out_specs=pl.BlockSpec(
@@ -201,7 +243,7 @@ def exhaustive_scores_packed(
             interpret=interpret,
         )(
             offs_c.astype(jnp.int32), lens_c.astype(jnp.int32),
-            scales_c.astype(jnp.float32), qc, qidc, flat,
+            scales_c.astype(jnp.float32), qc, qidc, qsc, flat,
         )
         return jnp.moveaxis(out, 0, 1).reshape(b, n_blocks * group)
 

@@ -525,6 +525,13 @@ def _local_tokens_ragged(ragged, tokens, qmask, packed, max_len,
     never touch HBM; measured 1182 vs 570 QPS at 100k docs, bit-identical
     scores).
     """
+    # int8_refined stores scan with int8-quantized queries (int8 MXU dot,
+    # 2x the bf16 rate): the int4-residual refine pass re-scores the final
+    # window at 12-bit precision, so stage-1 query-rounding noise never
+    # reaches the returned scores. Plain int8 keeps bf16 queries (its scan
+    # IS the final score in single_full). Static at trace time — dtypes.
+    qdot = (ragged["flat"].dtype == jnp.int8
+            and ragged.get("res4") is not None)
     scales = ragged.get("scales")
     if packed is not None:
         b_rows = packed["q"].shape[0]
@@ -536,12 +543,13 @@ def _local_tokens_ragged(ragged, tokens, qmask, packed, max_len,
             def scan(offs, lens, sc, ml):
                 return exhaustive_scores_packed(
                     ragged["flat"], offs, lens, packed["q"], packed["qid"],
-                    ml, b=b_q, doc_scales=sc)
+                    ml, b=b_q, doc_scales=sc, qdot_int8=qdot)
         else:
             def scan(offs, lens, sc, ml):
                 return BATCH.xla_exhaustive_packed(
                     ragged["flat"], offs, lens, packed["q"], packed["seg"],
-                    ml, scales=sc, chunk=_exhaustive_chunk(b_rows, ml))
+                    ml, scales=sc, chunk=_exhaustive_chunk(b_rows, ml),
+                    qdot_int8=qdot)
     else:
         b_rows = tokens.shape[0] * tokens.shape[1]
 

@@ -337,10 +337,10 @@ def xla_exhaustive_batch(
     return res[:, :d]
 
 
-@partial(jax.jit, static_argnames=("max_len", "chunk"))
+@partial(jax.jit, static_argnames=("max_len", "chunk", "qdot_int8"))
 def xla_exhaustive_packed(
     flat, offsets, lengths, qpacked, seg, max_len: int,
-    scales=None, chunk: int = 16,
+    scales=None, chunk: int = 16, qdot_int8: bool = False,
 ):
     """[B, D] EXACT MaxSim, doc-major, with GROUP-PACKED queries.
 
@@ -363,19 +363,36 @@ def xla_exhaustive_packed(
     scales_p = None
     if scales is not None:
         scales_p = jnp.pad(scales, (0, pad), constant_values=1.0) if pad else scales
-    q2 = qpacked.astype(cd)  # [G*Rg, dim]
     seg_c = seg.astype(jnp.float32)
+    if qdot_int8:
+        # int8 store: quantize query rows and fold their scales into the
+        # ownership weights (same math as the Pallas kernel's qdot path —
+        # positive per-row scales commute with the per-token max)
+        from visual_rag_tpu.ops.kernels.maxsim_scan import (
+            quantize_queries_int8,
+        )
+        q2, qs = quantize_queries_int8(qpacked)  # int8 [G*Rg, dim], f32 [G*Rg]
+        seg_c = seg_c * qs.reshape(g, 1, rg)
+    else:
+        q2 = qpacked.astype(cd)  # [G*Rg, dim]
 
     def one(args):
         offs_c, lens_c, scales_c = args  # [chunk]
         idx = offs_c[:, None] + jnp.arange(max_len, dtype=jnp.int32)[None, :]
         idx = jnp.clip(idx, 0, flat.shape[0] - 1)
         docs = flat[idx]  # [chunk, T, dim] — gathered ONCE for all queries
-        sims = jax.lax.dot_general(
-            q2, docs.reshape(chunk * max_len, -1).astype(cd),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(g * rg, chunk, max_len)
+        if qdot_int8:
+            sims = jax.lax.dot_general(
+                q2, docs.reshape(chunk * max_len, -1),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(g * rg, chunk, max_len).astype(jnp.float32)
+        else:
+            sims = jax.lax.dot_general(
+                q2, docs.reshape(chunk * max_len, -1).astype(cd),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(g * rg, chunk, max_len)
         tmask = (jnp.arange(max_len, dtype=jnp.int32)[None, :]
                  < lens_c[:, None])  # [chunk, T]
         sims = jnp.where(tmask[None], sims, NEG_INF)
