@@ -55,12 +55,12 @@ def run(qdot):
 
 def timed(qdot, reps=5):
     out = run(qdot)  # warm/compile
-    _ = float(np.asarray(out[:1, :1]))  # force full materialization (axon)
+    _ = float(np.asarray(out[:1, :1])[0, 0])  # force materialization (axon)
     best = 1e9
     for _i in range(reps):
         t0 = time.time()
         out = run(qdot)
-        _ = float(np.asarray(out[:1, :1]))
+        _ = float(np.asarray(out[:1, :1])[0, 0])
         best = min(best, time.time() - t0)
     return best, out
 

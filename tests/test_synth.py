@@ -7,7 +7,8 @@ from visual_rag_tpu.index.synth import synthetic_index
 from visual_rag_tpu.retrieval import RetrievalEngine, build_filter
 
 
-@pytest.mark.parametrize("storage_dtype", ["bfloat16", "int8", "float32"])
+@pytest.mark.parametrize("storage_dtype",
+                         ["bfloat16", "int8", "float32", "int8_refined"])
 def test_layout_bitcompatible_with_engine(storage_dtype):
     idx = synthetic_index(300, min_tokens=40, max_tokens=90, pooled_rows=6,
                           storage_dtype=storage_dtype, payload_years=3,
@@ -19,8 +20,11 @@ def test_layout_bitcompatible_with_engine(storage_dtype):
         q, mode="two_stage", top_k=10, prefetch_k=300)[0]]
     assert full == ts  # two_stage(prefetch >= corpus) oracle
     st = idx.stores["initial"]
-    assert str(st.flat.dtype) == ("int8" if storage_dtype == "int8"
+    assert str(st.flat.dtype) == ("int8" if storage_dtype.startswith("int8")
                                   else storage_dtype)
+    if storage_dtype == "int8_refined":
+        assert st.res4 is not None and st.res_scales is not None
+        assert st.res4.shape == (st.flat.shape[0], 64)
     # aligned offsets (Pallas DMA contract)
     offs = np.asarray(st.offsets)
     assert (offs % 32 == 0).all()
@@ -30,7 +34,8 @@ def test_layout_bitcompatible_with_engine(storage_dtype):
     for i in (0, 150, 299):
         rows = flat[offs[i] : offs[i] + lens[i]]
         norms = np.linalg.norm(rows, axis=1)
-        np.testing.assert_allclose(norms, 1.0, atol=0.2 if storage_dtype == "int8" else 2e-2)
+        np.testing.assert_allclose(
+            norms, 1.0, atol=0.2 if storage_dtype == "int8" else 2e-2)
 
 
 def test_payload_filter_columns():

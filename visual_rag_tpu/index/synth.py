@@ -54,7 +54,10 @@ def synthetic_index(
     Stores: ``initial`` (ragged, variable tokens/doc), ``mean_pooling`` and
     ``experimental_pooling`` (padded, ``pooled_rows`` rows each), and
     ``global_pooling``. int8 stores carry real scales (global-constant — a
-    valid quantization; tightness is irrelevant for perf benching).
+    valid quantization; tightness is irrelevant for perf benching);
+    ``int8_refined`` additionally generates the per-row int4 residual
+    sidecar on device (seal()-bit-compatible), so the two-pass refine and
+    qdot scan paths can be benched at corpus sizes the host seal can't reach.
     """
     rng = np.random.default_rng(seed)
     lengths = rng.integers(min_tokens, max_tokens + 1, num_docs).astype(np.int32)
@@ -67,10 +70,12 @@ def synthetic_index(
     total = int(aligned.sum()) + ((max_len + 31) // 32) * 32
     sdt = jnp.dtype(
         {"bfloat16": jnp.bfloat16, "float16": jnp.float16,
-         "float32": jnp.float32, "int8": jnp.int8}[storage_dtype])
+         "float32": jnp.float32, "int8": jnp.int8,
+         "int8_refined": jnp.int8}[storage_dtype])
     keys = jax.random.split(jax.random.PRNGKey(seed), 8)
 
-    int8 = storage_dtype == "int8"
+    refined = storage_dtype == "int8_refined"
+    int8 = storage_dtype == "int8" or refined
     gen_dtype = jnp.bfloat16 if int8 else sdt
 
     from functools import partial
@@ -79,22 +84,46 @@ def synthetic_index(
     # only ever exists at chunk size, and the fill is in-place — peak HBM is
     # buffer + one chunk (a chunked-concat would double the buffer; a single
     # full-size normal would materialize a 4-byte/elem f32 intermediate).
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-    def fill_chunk(buf, key, pos, n_rows):
+    @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(5,))
+    def fill_chunk(buf, r4buf, rsbuf, key, pos, n_rows):
+        if refined:
+            # f32 math so the residual is meaningful; per-row int4 sidecar
+            # follows store._residual_int4 exactly (r = x - c8/127,
+            # rs = max|r|/7, nibbles packed column 2j low / 2j+1 high) —
+            # bit-compatible with IndexBuilder.seal()'s layout
+            x = _normalized_normal(key, (n_rows, dim), jnp.float32)
+            c8 = jnp.clip(jnp.round(x * 127.0), -127, 127)
+            buf = jax.lax.dynamic_update_slice(
+                buf, c8.astype(jnp.int8), (pos, jnp.int32(0)))
+            r = x - c8 * (1.0 / 127.0)
+            rs = jnp.maximum(jnp.max(jnp.abs(r), axis=1) / 7.0, 1e-12)
+            c4 = jnp.clip(jnp.round(r / rs[:, None]), -7, 7
+                          ).astype(jnp.int32) + 8
+            packed = (c4[:, 0::2] | (c4[:, 1::2] << 4)).astype(jnp.uint8)
+            r4buf = jax.lax.dynamic_update_slice(
+                r4buf, packed, (pos, jnp.int32(0)))
+            rsbuf = jax.lax.dynamic_update_slice(
+                rsbuf, rs.astype(jnp.float32), (pos,))
+            return buf, r4buf, rsbuf
         x = _normalized_normal(key, (n_rows, dim), gen_dtype)
         if int8:  # rows unit-normalized -> |x| <= 1; global scale 1/127
             x = jnp.clip(jnp.round(x.astype(jnp.float32) * 127.0),
                          -127, 127).astype(jnp.int8)
-        return jax.lax.dynamic_update_slice(buf, x, (pos, jnp.int32(0)))
+        return (jax.lax.dynamic_update_slice(buf, x, (pos, jnp.int32(0))),
+                r4buf, rsbuf)
 
-    chunk_rows = min(chunk_rows, 4_000_000)
+    # refined chunks carry ~4 f32-sized intermediates -> smaller chunk
+    chunk_rows = min(chunk_rows, 1_000_000 if refined else 4_000_000)
     flat = jnp.zeros((total, dim), jnp.int8 if int8 else sdt)
+    res4 = jnp.zeros((total, dim // 2) if refined else (1, 1), jnp.uint8)
+    res_scales = jnp.zeros((total,) if refined else (1,), jnp.float32)
     pos = 0
     ci = 0
     while pos < total:
         n = min(chunk_rows, total - pos)
-        flat = fill_chunk(flat, jax.random.fold_in(keys[0], ci),
-                          jnp.int32(pos), n)
+        flat, res4, res_scales = fill_chunk(
+            flat, res4, res_scales, jax.random.fold_in(keys[0], ci),
+            jnp.int32(pos), n)
         pos += n
         ci += 1
     flat_scales = (jnp.full((num_docs,), 1.0 / 127.0, jnp.float32)
@@ -118,7 +147,9 @@ def synthetic_index(
     stores = {
         "initial": RaggedMultiVectors(
             flat=flat, offsets=jnp.asarray(offsets.astype(np.int32)),
-            lengths=jnp.asarray(lengths), max_len=max_len, scales=flat_scales),
+            lengths=jnp.asarray(lengths), max_len=max_len, scales=flat_scales,
+            res4=res4 if refined else None,
+            res_scales=res_scales if refined else None),
         "mean_pooling": padded(keys[1]),
         "experimental_pooling": padded(keys[2]),
         "global_pooling": SingleVectors(
