@@ -319,6 +319,19 @@ class TestMetricsParity:
         assert tpu_metrics.mrr_at_k(["a"], {}, 5) == ref_metrics.mrr_at_k(["a"], {}, 5)
         assert tpu_metrics.recall_at_k(["a"], {}, 5) == ref_metrics.recall_at_k(["a"], {}, 5)
 
+    def test_duplicate_ids_count_once_in_recall(self):
+        """A repeated doc id in a ranking must not inflate recall (the
+        reference computes recall over retrieved SETS): ['d1','d1'] with two
+        relevant docs is recall 0.5, not 1.0. Also pinned against the live
+        reference and mirrored by metrics_at_ks."""
+        ranking = ["d1", "d1"]
+        qrels = {"d1": 1, "d2": 1}
+        assert tpu_metrics.recall_at_k(ranking, qrels, 2) == 0.5
+        assert tpu_metrics.recall_at_k(ranking, qrels, 2) == pytest.approx(
+            ref_metrics.recall_at_k(ranking, qrels, 2), abs=1e-12)
+        at = tpu_metrics.metrics_at_ks(ranking, qrels, (1, 2))
+        assert at["recall@1"] == 0.5 and at["recall@2"] == 0.5
+
 
 class TestEndToEndRetrievalParity:
     """The full retrieval stack against the LIVE reference's own scoring:

@@ -91,6 +91,35 @@ class TestShardedMatchesSingle:
                 sorted(h["score_final"] for h in sr),
                 sorted(h["score_final"] for h in rr), atol=5e-5)
 
+    def test_ragged_batch_sizes_bucket(self, setup):
+        """Batch sizes not divisible by the pack group (33, 47, 65...) must
+        work on the packed wire: the sharded engine buckets B exactly like
+        RetrievalEngine (unbucketed b=33 crashed pack_queries_grouped with
+        'batch 33 not divisible by group 32' — the serving batcher drains
+        arbitrary batch sizes)."""
+        engine, _sengine, queries = setup
+        from visual_rag_tpu.parallel import ShardedIndex, make_mesh
+
+        mesh = make_mesh((8,), ("data",))
+        sp = ShardedEngine(
+            ShardedIndex.from_index(engine.index, mesh),
+            use_pallas=False, query_wire="packed")
+        for b in (3, 33, 47):
+            qs = (queries * ((b + 3) // 4))[:b]
+            got = sp.search_embedded_batch(qs, mode="two_stage", top_k=5,
+                                           prefetch_k=12, with_payload=False)
+            ref = engine.search_embedded_batch(qs, mode="two_stage", top_k=5,
+                                               prefetch_k=12,
+                                               with_payload=False)
+            assert len(got) == b
+            for sr, rr in zip(got, ref):
+                assert {h["id"] for h in sr} == {h["id"] for h in rr}
+        # dense-array path slices the padding rows off too
+        arr = sp.search_embedded_batch(qs, mode="two_stage", top_k=5,
+                                       prefetch_k=12, with_payload=False,
+                                       return_arrays=True)
+        assert len(arr) == 47
+
     def test_packed_scan_rerank_matches(self, setup):
         """Packed wire + forced scan rerank on the 8-shard mesh: each shard
         scans its local store once and gathers merged candidates."""

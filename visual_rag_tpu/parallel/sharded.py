@@ -537,7 +537,8 @@ def _local_tokens_ragged(ragged, tokens, qmask, packed, max_len,
         b_rows = packed["q"].shape[0]
         if use_pallas and _scan_kernel_fits(
                 packed["q"].shape[0], packed["q"].shape[1],
-                max_len, ragged["flat"].dtype):
+                max_len, ragged["flat"].dtype,
+                rg_hint=int(packed["qid"].shape[1])):
             b_q = tokens.shape[0]
 
             def scan(offs, lens, sc, ml):
@@ -593,7 +594,33 @@ def _refine_window(k: int, limit: int) -> int:
 
 
 def _local_refine(ragged, tokens, qmask, cand, max_len):
-    """Exact MaxSim of ``cand`` at int8+int4 precision (batch.xla_refine_rerank)."""
+    """Exact MaxSim of ``cand`` at int8+int4 precision (batch.xla_refine_rerank).
+
+    Query-chunked: the refine gathers [Bc, chunk, max_len, dim] f32 windows
+    plus same-shaped int4-unpack intermediates per step — unbounded B at
+    serving batch sizes (2048 x 832-token windows ~ 1.7 GB per transient)
+    risks HBM OOM next to a large store, so B is capped per lax.map step.
+    """
+    b, k = cand.shape
+    ml = ((int(max_len) + 31) // 32) * 32
+    dim = tokens.shape[2]
+    bc = b
+    while bc > 1 and bc * 2 * ml * dim * 4 > 128 * 1024 * 1024:
+        bc //= 2
+    if bc < b:
+        while b % bc:
+            bc -= 1
+    if bc < b:
+        nq = tokens.shape[1]
+        out = jax.lax.map(
+            lambda args: BATCH.xla_refine_rerank(
+                ragged["flat"], ragged["res4"], ragged["res_scales"],
+                ragged["offsets"], ragged["lengths"], args[0], args[1],
+                args[2], max_len, doc_scales=ragged.get("scales")),
+            (tokens.reshape(b // bc, bc, nq, dim),
+             qmask.reshape(b // bc, bc, nq),
+             cand.reshape(b // bc, bc, k)))
+        return out.reshape(b, k)
     return BATCH.xla_refine_rerank(
         ragged["flat"], ragged["res4"], ragged["res_scales"],
         ragged["offsets"], ragged["lengths"], tokens, qmask, cand, max_len,
@@ -676,6 +703,10 @@ class ShardedEngine(EngineCommon):
             raise ValueError(
                 f"rerank_impl must be auto|plain|dedup|sweep|scan, got {rerank_impl}")
         self.rerank_impl = rerank_impl
+        import os as _os
+
+        if query_wire == "auto":  # env refines the default only (engine.py)
+            query_wire = _os.environ.get("VISUALRAG_QUERY_WIRE", query_wire)
         if query_wire not in ("auto", "padded", "packed"):
             raise ValueError(
                 f"query_wire must be auto|padded|packed, got {query_wire}")
@@ -1011,7 +1042,17 @@ class ShardedEngine(EngineCommon):
         # f32 wire (r4): the host-side f16 cast costs more than the saved
         # transfer on this 1-core host — see utils/hostbuf.py / engine.py
         wire = np.float32
-        b_real = len(query_embeddings)
+        # Bucket B exactly like RetrievalEngine (see engine.py): reuses
+        # compiled plans across ragged batch sizes AND keeps the packed wire
+        # legal (pack_queries_grouped requires B % 32 == 0 for B >= 32 — an
+        # unbucketed 33-query batch crashed the sharded serving path).
+        # Padding rows duplicate query 0; _finish_batch slices to n_real.
+        n_real = len(query_embeddings)
+        b_real = next((c for c in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+                       if n_real <= c), ((n_real + 255) // 256) * 256)
+        if b_real != n_real:
+            query_embeddings = (list(query_embeddings)
+                                + [query_embeddings[0]] * (b_real - n_real))
         use_packed = (self.query_wire == "packed"
                       or (self.query_wire == "auto" and self.use_pallas
                           and b_real >= 32))
@@ -1032,7 +1073,8 @@ class ShardedEngine(EngineCommon):
         # scan policy on GLOBAL counts: per shard both sides divide by n
         # (candidates/shard ~ B*K/n, scan cost/shard ~ D/n), so the global
         # ratio is the per-shard ratio
-        scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0])}
+        scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0]),
+                      "rg": int(q3.shape[1])}
                      if wire_kind == "packed" else {})
 
         if mode.startswith("single_"):
@@ -1043,7 +1085,7 @@ class ShardedEngine(EngineCommon):
                 lambda: self._plan_single(kind, k, wire=wire_kind,
                                           b=b_real, nq=nq))
             vals, ids = plan(si.stores[name], ragged, mask, *qwire)
-            return ("done", len(query_embeddings), with_payload,
+            return ("done", n_real, with_payload,
                     return_arrays, {"ids": ids, "score": vals})
 
         if mode == "two_stage":
@@ -1060,7 +1102,7 @@ class ShardedEngine(EngineCommon):
                 lambda: self._plan_two_stage(kind, pk, k, impl=ri,
                                              wire=wire_kind, b=b_real, nq=nq))
             vals, ids = plan(si.stores[name], ragged, mask, *qwire)
-            return ("done", len(query_embeddings), with_payload,
+            return ("done", n_real, with_payload,
                     return_arrays,
                     {"ids": ids, "score_stage2": vals, "score_final": vals})
 
@@ -1077,7 +1119,7 @@ class ShardedEngine(EngineCommon):
             si.stores[self.global_vector_name],
             si.stores[self.experimental_vector_name],
             ragged, mask, *qwire)
-        return ("done", len(query_embeddings), with_payload, return_arrays,
+        return ("done", n_real, with_payload, return_arrays,
                 {"ids": ids, "score_stage3": vals, "score_final": vals,
                  "score_stage1": s1_at, "score_stage2": s2_at})
 
@@ -1095,8 +1137,10 @@ class ShardedEngine(EngineCommon):
         if return_arrays:
             return self._finish_arrays(self.sindex.manifest, n, arrays,
                                        idx_key="ids")
-        ids = arrays.pop("ids")
-        return self._assemble(ids, with_payload, **arrays)
+        ids = np.asarray(arrays.pop("ids"))[:n]  # drop bucket-padding rows
+        return self._assemble(
+            ids, with_payload,
+            **{kk: np.asarray(vv)[:n] for kk, vv in arrays.items()})
 
     def _assemble(self, ids, with_payload, **score_cols):
         # one .tolist() pass per column (see RetrievalEngine._results)

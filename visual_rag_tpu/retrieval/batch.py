@@ -69,16 +69,6 @@ def pad_queries(queries: Sequence[np.ndarray], dim: int, eps: float = 1e-8):
 from visual_rag_tpu.utils.hostbuf import HOST_POOL as _WIRE_POOL  # noqa: E402
 
 
-def _flat_positions(lens: np.ndarray, stride: int) -> np.ndarray:
-    """Row positions of each query's tokens inside a [B*stride, dim] padded
-    buffer: query i occupies rows i*stride .. i*stride+lens[i)."""
-    total = int(lens.sum())
-    ends = np.cumsum(lens)
-    # within-query token ranks 0..len_i-1, fully vectorized
-    ranks = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
-    return np.repeat(np.arange(len(lens), dtype=np.int64) * stride, lens) + ranks
-
-
 def pad_queries_raw(queries: Sequence[np.ndarray], dim: int,
                     wire_dtype=np.float32):
     """Ragged [nq_i, dim] queries -> (raw tokens [B,NQ,dim] in ``wire_dtype``,
@@ -439,7 +429,7 @@ def make_exhaustive_buckets(lengths: np.ndarray, n_buckets: int = 4,
     order = np.argsort(ml, kind="stable").astype(np.int32)
     sml = ml[order]
     global_area = int(sml[-1]) * d
-    edges = [int(q * d) for q in (0.25, 0.5, 0.75)][: max(0, n_buckets - 1)]
+    edges = [int(i * d / n_buckets) for i in range(1, max(1, n_buckets))]
     bounds = sorted(set(e for e in edges if 0 < e < d)) + [d]
     sizes, max_lens, area = [], [], 0
     lo = 0

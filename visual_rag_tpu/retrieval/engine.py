@@ -132,7 +132,7 @@ class EngineCommon:
     SCAN_MIN_CAND_RATIO = 4.0
 
     def _rerank_impl(self, b: int, k: int, n_docs: int = 0,
-                     m_packed: int = 0) -> str:
+                     m_packed: int = 0, rg: int = 0) -> str:
         """Stage-2 rerank kernel selection (static per plan compile).
 
         - ``plain``: one DMA + matmul per candidate (tiny batches: no
@@ -146,6 +146,15 @@ class EngineCommon:
           sizes: 43.6->38.6 ms at the 3k headline shape). Coverage =
           b*k*ceil32(max_len)/rows, gated at SWEEP_MIN_COV.
         """
+        if self.rerank_impl == "scan" and not m_packed:
+            # the scan rerank IS the packed exhaustive pass — without the
+            # packed wire it would silently fall through to the plain kernel
+            # (and the engine would ship dead bucket arrays into the plan)
+            logger.warning(
+                "rerank_impl='scan' requires the packed query wire "
+                "(query_wire='packed' or auto-on-TPU with B >= 32); "
+                "falling back to 'dedup' for this plan")
+            return "dedup" if b >= self.DEDUP_MIN_BATCH else "plain"
         if self.rerank_impl in ("plain", "dedup", "sweep", "scan"):
             return self.rerank_impl
         if b < self.DEDUP_MIN_BATCH:
@@ -156,7 +165,8 @@ class EngineCommon:
 
             store_dtype = (jnp.int8 if itemsize == 1 else
                            jnp.bfloat16 if itemsize == 2 else jnp.float32)
-            if scan_kernel_fits(m_packed, dim, max_len, store_dtype):
+            if scan_kernel_fits(m_packed, dim, max_len, store_dtype,
+                                rg_hint=rg or 1024):
                 return "scan"
         from visual_rag_tpu.ops.kernels.maxsim_sweep import (
             _ceil32, sweep_supported)
@@ -282,7 +292,11 @@ class RetrievalEngine(EngineCommon):
         self.rerank_impl = rerank_impl
         import os as _os
 
-        query_wire = _os.environ.get("VISUALRAG_QUERY_WIRE", query_wire)
+        # env var refines the DEFAULT only — an explicit constructor arg wins
+        # (otherwise a stray exported VISUALRAG_QUERY_WIRE silently overrides
+        # code that asked for a specific wire)
+        if query_wire == "auto":
+            query_wire = _os.environ.get("VISUALRAG_QUERY_WIRE", query_wire)
         if query_wire not in ("auto", "padded", "packed"):
             raise ValueError(
                 f"query_wire must be auto|padded|packed, got {query_wire}")
@@ -641,7 +655,8 @@ class RetrievalEngine(EngineCommon):
                 prefetch_k = max(100, top_k * 10)
             kind, name = self._fused_stage1(stage1_mode)
             pk = max(1, min(int(prefetch_k), d))
-            scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0])}
+            scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0]),
+                      "rg": int(q3.shape[1])}
                          if wire_kind == "packed" else {})
             impl = (self._rerank_impl(b_bucket, pk, **scan_geom)
                     if use_pallas else "plain")
@@ -660,7 +675,8 @@ class RetrievalEngine(EngineCommon):
 
         s1k = max(1, min(int(stage1_k or 1000), d))
         s2k = max(1, min(int(stage2_k or 300), d))
-        scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0])}
+        scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0]),
+                      "rg": int(q3.shape[1])}
                      if wire_kind == "packed" else {})
         impl = (self._rerank_impl(b_bucket, s2k, **scan_geom)
                 if use_pallas else "plain")

@@ -15,6 +15,15 @@ records the device array a buffer was shipped as so ``get()`` blocks on
 that transfer before recycling the buffer (a no-op by the time a slot
 comes around again in normal pipelining).
 
+Backend reliability of the guard: CLAUDE.md documents that on the tunneled
+axon backend ``block_until_ready`` can return before COMPUTE OUTPUTS exist
+— but for device_put specifically, the host buffer is serialized into the
+RPC eagerly: mutating the source immediately after device_put returns with
+NO synchronization at all showed 0/20 corruptions on the real axon chip
+(probe r4). So the barrier is load-bearing exactly where it is reliable
+(the CPU backend's zero-copy aliasing, deterministically caught by the
+test above), and the axon path does not depend on it.
+
 Batch bucketing (engine batch sizes, processor patch-count buckets) keeps
 the number of distinct shapes — and thus resident buffers — small.
 

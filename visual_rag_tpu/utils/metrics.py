@@ -52,14 +52,24 @@ def mrr_at_k(ranking: List[str], qrels: Dict[str, int], k: int) -> float:
     return 1.0 / (int(np.argmax(hits)) + 1)
 
 
+def _unique_hits(ranking: Sequence[str], relevant, kmax: int) -> np.ndarray:
+    """Boolean per-rank vector: relevant AND first occurrence (set
+    semantics — a duplicated doc id in a ranking counts once, matching the
+    reference's ``len(retrieved_set & relevant_set)`` recall)."""
+    seen = set()
+    out = np.zeros(min(kmax, len(ranking)), dtype=bool)
+    for i, doc_id in enumerate(ranking[:kmax]):
+        if doc_id in relevant and doc_id not in seen:
+            seen.add(doc_id)
+            out[i] = True
+    return out
+
+
 def recall_at_k(ranking: List[str], qrels: Dict[str, int], k: int) -> float:
     relevant = {doc_id for doc_id, rel in qrels.items() if rel > 0}
     if not relevant:
         return 0.0
-    hits = np.fromiter(
-        (doc_id in relevant for doc_id in ranking[:k]), dtype=bool, count=min(k, len(ranking))
-    )
-    return float(hits.sum()) / len(relevant)
+    return float(_unique_hits(ranking, relevant, k).sum()) / len(relevant)
 
 
 def metrics_at_ks(
@@ -78,8 +88,10 @@ def metrics_at_ks(
     icurve = _dcg_curve(ideal)
     hits = rels > 0
     first_hit = int(np.argmax(hits)) + 1 if hits.any() else 0
-    hit_counts = np.cumsum(hits) if hits.size else np.zeros(0)
-    n_relevant = sum(1 for rel in qrels.values() if rel > 0)
+    relevant = {doc_id for doc_id, rel in qrels.items() if rel > 0}
+    uhits = _unique_hits(ranking, relevant, kmax)
+    hit_counts = np.cumsum(uhits) if uhits.size else np.zeros(0)
+    n_relevant = len(relevant)
 
     out: Dict[str, float] = {}
     for k in ks:
