@@ -57,7 +57,8 @@ class TestResidency:
 
 
 class TestDtypeMigration:
-    @pytest.mark.parametrize("dtype", ["bfloat16", "float16", "int8"])
+    @pytest.mark.parametrize(
+        "dtype", ["bfloat16", "float16", "int8", "int8_refined"])
     def test_convert_preserves_ranking(self, index, dtype):
         rng = np.random.default_rng(2)
         q = rng.standard_normal((4, 32)).astype(np.float32)
@@ -70,6 +71,8 @@ class TestDtypeMigration:
         assert res[0]["id"] == base[0]["id"]
         if dtype == "int8":
             assert conv.store("initial").scales is not None
+        if dtype == "int8_refined":  # int4 sidecar rebuilt on the ragged store
+            assert conv.store("initial").res4 is not None
 
     def test_int8_roundtrip_to_f32(self, index):
         conv = convert_storage_dtype(convert_storage_dtype(index, "int8"), "float32")

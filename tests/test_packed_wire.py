@@ -68,6 +68,13 @@ class TestPackQueriesGrouped:
         assert (pn[pad_rows] == 0).all()
         assert (posn[pad_rows] == len(qs) * nq).all()
 
+    def test_empty_batch_returns_empty_wire(self):
+        """b=0 must yield a legal all-pad wire, not ZeroDivisionError
+        (pad_queries_raw handles b=0; direct wire users hit this)."""
+        (packed, pos, qid), nq, rg = B.pack_queries_grouped([], DIM)
+        assert packed.shape[1] == DIM and (np.asarray(qid) == -1).all()
+        assert (np.asarray(packed) == 0).all()
+
     def test_fp16_wire_clips(self):
         rng = np.random.default_rng(3)
         qs = _queries(32, rng)
@@ -128,6 +135,27 @@ class TestPackedEngineParity:
             sb = sorted(h["score_final"] for h in rb)
             np.testing.assert_allclose(sa, sb, atol=5e-5)
             assert {h["id"] for h in ra} == {h["id"] for h in rb}
+
+    def test_explicit_scan_runs_off_tpu(self, small_index, monkeypatch):
+        """An explicit rerank_impl='scan' must actually reach the scan gather
+        path on the XLA (non-Pallas) backend — r4 regression: it was silently
+        replaced with 'plain', making the parity tests above vacuous on CPU."""
+        import visual_rag_tpu.retrieval.plans as plans
+
+        impls = []
+        orig = plans._local_rerank
+
+        def spy(*a, **k):
+            impls.append(k.get("impl", "plain"))
+            return orig(*a, **k)
+
+        monkeypatch.setattr(plans, "_local_rerank", spy)
+        es = RetrievalEngine(small_index, query_wire="packed",
+                             rerank_impl="scan")
+        es.search_embedded_batch(_queries(64, np.random.default_rng(5)),
+                                 mode="two_stage", top_k=5, prefetch_k=50,
+                                 with_payload=False)
+        assert "scan" in impls
 
     def test_scan_policy_gates(self, small_index):
         """auto policy: scan only when candidate windows outnumber docs
@@ -286,6 +314,25 @@ class TestReturnArraysAndDepth:
             pip = list(eng.search_embedded_batches(batches, depth=depth, **kw))
             assert [[[h["id"] for h in r] for r in x] for x in pip] == \
                    [[[h["id"] for h in r] for r in x] for x in seq]
+
+    def test_pool_lru_eviction_bounds_memory(self):
+        """A tail of distinct wire shapes must not retain depth buffers per
+        shape forever (long-lived serving OOM): total bytes are LRU-capped,
+        and the most recently used key survives eviction."""
+        from visual_rag_tpu.utils.hostbuf import HostBufferPool
+
+        pool = HostBufferPool(depth=2, max_bytes=64 * 1024)
+        hot = pool.get((1024,), np.float32)  # 4 KB x2 slots
+        for n in range(1, 20):  # 19 distinct shapes, 8 KB of slots each
+            pool.get((1024 + n,), np.float32)
+        assert pool._bytes <= 64 * 1024 + 2 * (1024 + 19) * 4
+        assert len(pool._slots) < 19
+        # the hot key was evicted long ago; re-getting it re-warms fresh slots
+        again = pool.get((1024,), np.float32)
+        assert again is not hot
+        # and a just-used key is never the eviction victim
+        pool.get((1024,), np.float32)
+        assert ((1024,), np.dtype(np.float32).str) in pool._slots
 
     def test_pool_wrap_no_aliasing(self, small_index):
         """10 DIFFERENT same-shape batches through depth-4 pipelining: the

@@ -44,7 +44,7 @@ class TestMetrics:
             docs = [f"d{i}" for i in range(30)]
             qrels = {d: int(rng.integers(0, 3)) for d in rng.choice(docs, 8, replace=False)}
             ranking = list(rng.permutation(docs))[: int(rng.integers(0, 25))]
-            ks = [1, 3, 5, 10, 100]
+            ks = [0, 1, 3, 5, 10, 100]  # k=0 must report 0.0, not full-window
             batched = metrics_at_ks(ranking, qrels, ks)
             for k in ks:
                 assert batched[f"ndcg@{k}"] == pytest.approx(ndcg_at_k(ranking, qrels, k))

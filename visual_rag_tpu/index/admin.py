@@ -103,7 +103,10 @@ def convert_storage_dtype(index: SealedIndex, storage_dtype: str) -> SealedIndex
                 dim=store.dim)
             continue
         vals = np.asarray(store.dequantized(jnp.float32))
-        if storage_dtype == "int8":
+        if storage_dtype in ("int8", "int8_refined"):
+            # int8_refined's int4 sidecar lives only on the ragged token
+            # store (rebuilt above); padded/single stores pack like int8 —
+            # same contract as store._pack_storage
             q, s = quantize_rows_int8(vals)
             new_vals, new_scales = jnp.asarray(q), jnp.asarray(s)
         else:

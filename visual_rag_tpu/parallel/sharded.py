@@ -593,6 +593,27 @@ def _refine_window(k: int, limit: int) -> int:
     return max(1, min(limit, max(32, 2 * k)))
 
 
+def _refined_merge(ragged, tokens, qmask, full, gids, base, ds, k, max_len,
+                   axis):
+    """Cross-shard two-pass refine (int8_refined stores): the top-rk of the
+    merged int8 scores ``full`` (global ids ``gids``) are re-scored
+    shard-locally at int8+int4 precision — each winner is owned by exactly
+    one shard, so pmax merges the refined scores — then the final top-k is
+    taken over the refined values. Shared by the two- and three-stage plan
+    bodies. Returns (vals, ids) with -1 ids on sub-floor rows."""
+    rk = _refine_window(k, full.shape[1])
+    _, pos8 = jax.lax.top_k(full, rk)
+    rids = jnp.take_along_axis(gids, pos8, axis=1)
+    rloc = rids - base
+    rok = (rloc >= 0) & (rloc < ds) & (rids >= 0)
+    rcand = jnp.where(rok, rloc, -1).astype(jnp.int32)
+    fine = jax.lax.pmax(
+        _local_refine(ragged, tokens, qmask, rcand, max_len), axis)
+    vals, fpos = jax.lax.top_k(fine, min(k, rk))
+    ids = jnp.take_along_axis(rids, fpos, axis=1)
+    return vals, jnp.where(vals > NEG_INF / 2, ids, -1)
+
+
 def _local_refine(ragged, tokens, qmask, cand, max_len):
     """Exact MaxSim of ``cand`` at int8+int4 precision (batch.xla_refine_rerank).
 
@@ -865,19 +886,8 @@ class ShardedEngine(EngineCommon):
                                impl=impl, packed=packed)
             full = jax.lax.pmax(rr, axis)  # each candidate valid on one shard
             if ragged.get("res4") is not None:
-                # two-pass: the GLOBAL int8 window is refined shard-locally
-                # (each winner owned by one shard), pmax merges refined scores
-                rk = _refine_window(k, pk)
-                v8, pos8 = jax.lax.top_k(full, rk)
-                rids = jnp.take_along_axis(merged, pos8, axis=1)
-                rloc = rids - base
-                rok = (rloc >= 0) & (rloc < ds) & (rids >= 0)
-                rcand = jnp.where(rok, rloc, -1).astype(jnp.int32)
-                fine = jax.lax.pmax(
-                    _local_refine(ragged, tokens, qmask, rcand, max_len), axis)
-                vals, pos = jax.lax.top_k(fine, min(k, rk))
-                ids = jnp.take_along_axis(rids, pos, axis=1)
-                return vals, jnp.where(vals > NEG_INF / 2, ids, -1)
+                return _refined_merge(ragged, tokens, qmask, full, merged,
+                                      base, ds, k, max_len, axis)
             vals, pos = jax.lax.top_k(full, k)
             ids = jnp.take_along_axis(merged, pos, axis=1)
             return vals, jnp.where(vals > NEG_INF / 2, ids, -1)
@@ -938,17 +948,9 @@ class ShardedEngine(EngineCommon):
                                impl=impl, packed=packed)
             full = jax.lax.pmax(rr, axis)
             if ragged.get("res4") is not None:
-                rk = _refine_window(kk, full.shape[1])
-                v8, pos8 = jax.lax.top_k(full, rk)
-                rids = jnp.take_along_axis(m2_ids, pos8, axis=1)
-                rloc = rids - base
-                rok = (rloc >= 0) & (rloc < ds) & (rids >= 0)
-                rcand = jnp.where(rok, rloc, -1).astype(jnp.int32)
-                fine = jax.lax.pmax(
-                    _local_refine(ragged, tokens, qmask, rcand, max_len), axis)
-                vals, fpos = jax.lax.top_k(fine, min(kk, rk))
-                ids = jnp.take_along_axis(rids, fpos, axis=1)
-                ids = jnp.where(vals > NEG_INF / 2, ids, -1)
+                vals, ids = _refined_merge(ragged, tokens, qmask, full,
+                                           m2_ids, base, ds, kk, max_len,
+                                           axis)
                 # winners leave m2_ids order: recover stage-2 positions by match
                 match = (m2_ids[:, None, :] == ids[:, :, None]) & (ids[:, :, None] >= 0)
                 pos = jnp.argmax(match, axis=2)
@@ -1042,17 +1044,11 @@ class ShardedEngine(EngineCommon):
         # f32 wire (r4): the host-side f16 cast costs more than the saved
         # transfer on this 1-core host — see utils/hostbuf.py / engine.py
         wire = np.float32
-        # Bucket B exactly like RetrievalEngine (see engine.py): reuses
-        # compiled plans across ragged batch sizes AND keeps the packed wire
-        # legal (pack_queries_grouped requires B % 32 == 0 for B >= 32 — an
-        # unbucketed 33-query batch crashed the sharded serving path).
-        # Padding rows duplicate query 0; _finish_batch slices to n_real.
-        n_real = len(query_embeddings)
-        b_real = next((c for c in (1, 2, 4, 8, 16, 32, 64, 128, 256)
-                       if n_real <= c), ((n_real + 255) // 256) * 256)
-        if b_real != n_real:
-            query_embeddings = (list(query_embeddings)
-                                + [query_embeddings[0]] * (b_real - n_real))
+        # Bucket B exactly like RetrievalEngine (shared EngineCommon ladder —
+        # an unbucketed 33-query batch crashed the packed serving wire);
+        # _finish_batch slices results back to n_real.
+        query_embeddings, n_real, b_real = self._bucket_batch(
+            query_embeddings)
         use_packed = (self.query_wire == "packed"
                       or (self.query_wire == "auto" and self.use_pallas
                           and b_real >= 32))
@@ -1094,8 +1090,11 @@ class ShardedEngine(EngineCommon):
             kind, name = self._stage1_kind(stage1_mode)
             pk = max(1, min(int(prefetch_k), d))
             k = max(1, min(int(top_k), pk))
+            # an EXPLICIT 'scan' runs via the packed XLA exhaustive fallback
+            # even off-TPU (engine.py has the same policy)
             ri = (self._rerank_impl(b_real, pk, **scan_geom)
-                  if self.use_pallas else "plain")
+                  if self.use_pallas or self.rerank_impl == "scan"
+                  else "plain")
             plan = self._get_plan(
                 ("two_stage", kind, name, pk, k, wire_key,
                  self.stage1_cut, ri),
@@ -1110,7 +1109,7 @@ class ShardedEngine(EngineCommon):
         s2k = max(1, min(int(stage2_k or 300), d))
         k = max(1, min(int(top_k), s2k))
         ri3 = (self._rerank_impl(b_real, s2k, **scan_geom)
-               if self.use_pallas else "plain")
+               if self.use_pallas or self.rerank_impl == "scan" else "plain")
         plan = self._get_plan(
             ("three_stage", s1k, s2k, k, wire_key, self.stage1_cut, ri3),
             lambda: self._plan_three_stage(s1k, s2k, k, impl=ri3,

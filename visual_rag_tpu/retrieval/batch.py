@@ -139,6 +139,10 @@ def pack_queries_grouped(queries: Sequence[np.ndarray], dim: int,
     scatter), and ``qid`` is the in-group query index (-1 on pad rows).
     """
     b = len(queries)
+    if b == 0:  # empty wire: one all-pad group (pad_queries_raw handles b=0 too)
+        return ((np.zeros((128, dim), dtype=wire_dtype),
+                 np.zeros(128, dtype=np.int32),
+                 np.full((1, 128), -1, dtype=np.int32)), 8, 128)
     group = min(group, b)
     if b % group:
         raise ValueError(f"batch {b} not divisible by group {group}")

@@ -130,6 +130,21 @@ class EngineCommon:
     # DMA descriptor cost ~0.8us is the rerank floor; the scan pays it once
     # per doc instead of once per (query, candidate))
     SCAN_MIN_CAND_RATIO = 4.0
+    BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+    @classmethod
+    def _bucket_batch(cls, queries):
+        """Pad ``queries`` up to the enclosing batch bucket (above the ladder,
+        the next multiple of 256) so varying batch sizes reuse compiled plans
+        AND the packed wire stays legal (pack_queries_grouped needs B % 32
+        for B >= 32). Padding rows duplicate query 0 — callers slice results
+        back to ``n_real``. Returns (queries, n_real, b_bucket)."""
+        n_real = len(queries)
+        b = next((c for c in cls.BATCH_BUCKETS if n_real <= c),
+                 ((n_real + 255) // 256) * 256)
+        if b != n_real:
+            queries = list(queries) + [queries[0]] * (b - n_real)
+        return queries, n_real, b
 
     def _rerank_impl(self, b: int, k: int, n_docs: int = 0,
                      m_packed: int = 0, rg: int = 0) -> str:
@@ -596,16 +611,8 @@ class RetrievalEngine(EngineCommon):
         if self.index.num_docs == 0 or not len(query_embeddings):
             return ("empty", len(query_embeddings), with_payload,
                     return_arrays, {})
-        # Bucket B so varying batch sizes (dynamic batching, ragged last
-        # batches) reuse compiled plans instead of recompiling per B — the
-        # fused plan is shape-specialized in B. Padding rows duplicate query
-        # 0; their results are sliced off below.
-        n_real = len(query_embeddings)
-        b_bucket = next((c for c in (1, 2, 4, 8, 16, 32, 64, 128, 256)
-                         if n_real <= c), ((n_real + 255) // 256) * 256)
-        if b_bucket != n_real:
-            query_embeddings = (list(query_embeddings)
-                                + [query_embeddings[0]] * (b_bucket - n_real))
+        query_embeddings, n_real, b_bucket = self._bucket_batch(
+            query_embeddings)
         dim = next(iter(self.index.stores.values())).dim
         # r4: the wire is f32 — the host-side f32->f16 cast costs ~43 ms per
         # 2048-query batch on this 1-core host while the saved transfer is
@@ -658,8 +665,11 @@ class RetrievalEngine(EngineCommon):
             scan_geom = ({"n_docs": d, "m_packed": int(q1.shape[0]),
                       "rg": int(q3.shape[1])}
                          if wire_kind == "packed" else {})
+            # dedup/sweep are Pallas-only (they degrade to the plain XLA
+            # gather off-TPU inside _local_rerank), but an EXPLICIT 'scan'
+            # has a full XLA fallback (the packed exhaustive path) — honor it
             impl = (self._rerank_impl(b_bucket, pk, **scan_geom)
-                    if use_pallas else "plain")
+                    if use_pallas or self.rerank_impl == "scan" else "plain")
             # scan rerank = the exhaustive pass -> give it the same static
             # doc-length buckets single_full uses (each bucket scanned at
             # its own max_len; bit-exact, ~30% less padded window work)
@@ -679,7 +689,7 @@ class RetrievalEngine(EngineCommon):
                       "rg": int(q3.shape[1])}
                      if wire_kind == "packed" else {})
         impl = (self._rerank_impl(b_bucket, s2k, **scan_geom)
-                if use_pallas else "plain")
+                if use_pallas or self.rerank_impl == "scan" else "plain")
         ragged3, bl3 = (self._with_buckets(ragged) if impl == "scan"
                         else (ragged, ()))
         vals, idx, s1_at, s2_at = plans.three_stage_plan(

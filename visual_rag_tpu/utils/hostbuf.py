@@ -38,9 +38,23 @@ import numpy as np
 
 
 class HostBufferPool:
-    def __init__(self, depth: int = 8):
+    """LRU-bounded: bucketing keeps the steady-state key set small, but a
+    long-lived server seeing a tail of distinct query shapes (nq is only
+    8-quantized on the padded wire) must not retain depth buffers per shape
+    forever — total retained bytes are capped (VISUALRAG_HOSTBUF_MB,
+    default 1024) and the least-recently-used keys are evicted. Eviction
+    only drops the pool's references: a buffer still aliased by an
+    in-flight device array stays alive until that array releases it."""
+
+    def __init__(self, depth: int = 8, max_bytes: int | None = None):
+        import os
+
         self.depth = depth
-        self._slots: dict = {}
+        self.max_bytes = (max_bytes if max_bytes is not None else
+                          int(os.environ.get("VISUALRAG_HOSTBUF_MB",
+                                             "1024")) << 20)
+        self._slots: dict = {}  # insertion order == LRU order
+        self._bytes = 0
         self._pending: dict = {}  # id(buf) -> device array it was shipped as
 
     def get(self, shape, dtype, fill=None) -> np.ndarray:
@@ -48,10 +62,17 @@ class HostBufferPool:
         every element — callers that fill sparsely must zero pad regions
         themselves (stale data from eight batches ago otherwise leaks)."""
         key = (tuple(shape), np.dtype(dtype).str)
-        slot = self._slots.get(key)
+        slot = self._slots.pop(key, None)  # pop+reinsert: move to LRU tail
         if slot is None:
-            slot = self._slots[key] = [
-                [np.zeros(shape, dtype) for _ in range(self.depth)], 0]
+            slot = [[np.zeros(shape, dtype) for _ in range(self.depth)], 0]
+            self._bytes += sum(b.nbytes for b in slot[0])
+        self._slots[key] = slot
+        while self._bytes > self.max_bytes and len(self._slots) > 1:
+            old = next(iter(self._slots))  # LRU head (never the key just used)
+            bufs, _ = self._slots.pop(old)
+            for b in bufs:
+                self._bytes -= b.nbytes
+                self._pending.pop(id(b), None)
         bufs, i = slot
         slot[1] = (i + 1) % self.depth
         buf = bufs[i]
@@ -72,6 +93,7 @@ class HostBufferPool:
     def clear(self):
         self._slots.clear()
         self._pending.clear()
+        self._bytes = 0
 
 
 HOST_POOL = HostBufferPool()

@@ -100,7 +100,7 @@ def metrics_at_ks(
         out[f"mrr@{k}"] = 1.0 / first_hit if 0 < first_hit <= k else 0.0
         out[f"recall@{k}"] = (
             float(hit_counts[min(k, hit_counts.size) - 1]) / n_relevant
-            if n_relevant and hit_counts.size
+            if k > 0 and n_relevant and hit_counts.size
             else 0.0
         )
     return out
