@@ -201,14 +201,20 @@ class TestSharded:
         idx = _build(points, "int8_refined")
         single = RetrievalEngine(idx, compute_dtype="float32")
         mesh = make_mesh((8,), ("data",))
-        sharded = ShardedEngine(ShardedIndex.from_index(idx, mesh),
-                                use_pallas=False)
+        si = ShardedIndex.from_index(idx, mesh)
+        # both query wires: the cross-shard refine merge (_refined_merge) is
+        # shared by the two- and three-stage bodies on either wire
+        engines = [ShardedEngine(si, use_pallas=False),
+                   ShardedEngine(si, use_pallas=False, query_wire="packed")]
         for mode, kw in (("two_stage", dict(prefetch_k=64)),
                          ("single_full", {}),
                          ("three_stage", dict(stage1_k=100, stage2_k=40))):
-            got = sharded.search_embedded_batch(
-                queries[:4], mode=mode, top_k=10, with_payload=False, **kw)
-            for q, g in zip(queries[:4], got):
-                ref = single.search_embedded(q, mode=mode, top_k=10,
-                                             with_payload=False, **kw)
-                assert [h["id"] for h in g] == [h["id"] for h in ref], mode
+            for sharded in engines:
+                got = sharded.search_embedded_batch(
+                    queries[:4], mode=mode, top_k=10, with_payload=False,
+                    **kw)
+                for q, g in zip(queries[:4], got):
+                    ref = single.search_embedded(q, mode=mode, top_k=10,
+                                                 with_payload=False, **kw)
+                    assert [h["id"] for h in g] == [h["id"] for h in ref], (
+                        mode, sharded.query_wire)
