@@ -260,3 +260,28 @@ class TestThreeStageKClampSharded:
             queries[:1], mode="three_stage", stage1_k=5, stage2_k=40, top_k=20)
         assert [r["id"] for r in a[0]] == [r["id"] for r in b[0]]
         assert len(a[0]) == 5
+
+
+class TestGatheredStage2Chunking:
+    def test_chunked_gather_bit_exact(self, setup, monkeypatch):
+        """The r5 query-chunked stage-2 candidate gather (HBM-transient cap)
+        must be bit-exact vs the single-shot gather."""
+        import jax.numpy as jnp
+
+        from visual_rag_tpu.parallel import sharded as S
+
+        rng = np.random.default_rng(11)
+        p, d, dim, b, k, nq = 4, 30, 16, 8, 6, 5
+        estore = {
+            "vals_t": jnp.asarray(
+                rng.standard_normal((p, d, dim)).astype(np.float32)),
+            "mask_t": jnp.asarray(
+                (rng.random((p, d)) > 0.2).astype(np.float32)),
+        }
+        tokens = jnp.asarray(rng.standard_normal((b, nq, dim)).astype(np.float32))
+        qmask = jnp.asarray((rng.random((b, nq)) > 0.1).astype(np.float32))
+        cand = rng.integers(-1, d, (b, k)).astype(np.int32)
+        full = np.asarray(S._gathered_tokens_padded(estore, tokens, qmask, cand))
+        monkeypatch.setattr(S, "GATHER_BUDGET_BYTES", 1)  # force max chunking
+        chunked = np.asarray(S._gathered_tokens_padded(estore, tokens, qmask, cand))
+        np.testing.assert_array_equal(full, chunked)

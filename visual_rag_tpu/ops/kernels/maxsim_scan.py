@@ -79,7 +79,8 @@ def scan_kernel_fits(m, dim, max_len, flat_dtype, group=16, rg_hint=1024,
     vmem = (2 * group * ml * dim * max(1, itemsize)  # doc window banks
             + 2 * rg_hint * dim * itemsize           # streamed query tiles
             + group * rg_hint * 4                    # per-step max stack
-            + 2 * rg_hint * 4)                       # qid tiles
+            + 2 * rg_hint * 4                        # qid tiles
+            + 2 * rg_hint * 4)                       # qdot per-row scale tiles
     return vmem <= limit
 
 

@@ -349,7 +349,35 @@ def _gathered_tokens_padded(estore: Dict, tokens, qmask, cand):
     """Stage-2 MaxSim of query tokens vs the padded rows of CANDIDATE docs
     only: [B, s1k] scores via a per-query gather. At corpus scale this beats
     scoring all D docs and masking by ~D/s1k in FLOPs (the full tokens scan
-    was the three_stage bottleneck in the 100k profile: 387 of 625 ms)."""
+    was the three_stage bottleneck in the 100k profile: 387 of 625 ms).
+
+    Query-chunked (r5): the gather materializes [P, B, K, dim] + a
+    [B, NQ, P, K] sims transient — ~5 MB per query at the 100k serving shape
+    (P=12, K=1000), i.e. ~3 GB at bs=1024 next to a ~5 GB corpus. B is
+    chunked via lax.map to bound the transient; per-doc scores are
+    independent across queries, so this is bit-exact."""
+    b, k = cand.shape
+    p = int(estore["vals_t"].shape[0])
+    dim = int(estore["vals_t"].shape[2])
+    nq = int(tokens.shape[1])
+    per_q = p * k * (dim * max(2, estore["vals_t"].dtype.itemsize) + nq * 4)
+    bc = b
+    while bc > 1 and bc * per_q > GATHER_BUDGET_BYTES:
+        bc //= 2
+    if bc < b:
+        while b % bc:
+            bc -= 1
+        out = jax.lax.map(
+            lambda args: _gathered_tokens_padded_chunk(
+                estore, args[0], args[1], args[2]),
+            (tokens.reshape(b // bc, bc, nq, dim),
+             jnp.asarray(qmask).reshape(b // bc, bc, nq),
+             cand.reshape(b // bc, bc, k)))
+        return out.reshape(b, k)
+    return _gathered_tokens_padded_chunk(estore, tokens, qmask, cand)
+
+
+def _gathered_tokens_padded_chunk(estore: Dict, tokens, qmask, cand):
     vals_t, mask_t = estore["vals_t"], estore["mask_t"]  # [P, D, dim], [P, D]
     scales_t = estore.get("scales_t")
     safe = jnp.maximum(cand, 0)  # [B, K]
@@ -368,6 +396,10 @@ def _gathered_tokens_padded(estore: Dict, tokens, qmask, cand):
     scores = jnp.sum(per_q, axis=1)  # [B, K]
     return jnp.where(cand >= 0, scores, NEG_INF)
 
+
+# HBM-transient cap for the stage-2 candidate gather (tests shrink it to
+# exercise the chunked path at toy shapes)
+GATHER_BUDGET_BYTES = 320 * 1024 * 1024
 
 SWEEP_R_STEP = 512  # best measured range step (r512/mg2/n_bufs=2, r3 bench)
 SWEEP_MAX_B = 256  # kernel qid pack width (maxsim_sweep.MAX_B)
@@ -557,7 +589,8 @@ def _local_tokens_ragged(ragged, tokens, qmask, packed, max_len,
         def scan(offs, lens, sc, ml):
             return BATCH.xla_exhaustive_batch(
                 ragged["flat"], offs, lens, tokens, qmask, ml,
-                scales=sc, chunk=_exhaustive_chunk(b_rows, ml))
+                scales=sc, chunk=_exhaustive_chunk(b_rows, ml),
+                qdot_int8=qdot)
 
     buckets = ragged.get("buckets")
     if buckets is not None and bucket_lens:
@@ -626,7 +659,10 @@ def _local_refine(ragged, tokens, qmask, cand, max_len):
     ml = ((int(max_len) + 31) // 32) * 32
     dim = tokens.shape[2]
     bc = b
-    while bc > 1 and bc * 2 * ml * dim * 4 > 128 * 1024 * 1024:
+    # per-step transient = candidate-chunk gathered f32 windows; the chunk
+    # factor is xla_refine_rerank's default (shared constant, ADVICE r4)
+    while bc > 1 and (bc * BATCH.REFINE_CAND_CHUNK * ml * dim * 4
+                      > 128 * 1024 * 1024):
         bc //= 2
     if bc < b:
         while b % bc:

@@ -270,10 +270,10 @@ def xla_single_batch(values, pooled, scales=None, compute_dtype: str = "float32"
     return out
 
 
-@partial(jax.jit, static_argnames=("max_len", "chunk"))
+@partial(jax.jit, static_argnames=("max_len", "chunk", "qdot_int8"))
 def xla_exhaustive_batch(
     flat, offsets, lengths, tokens, qmask, max_len: int,
-    scales=None, chunk: int = 16,
+    scales=None, chunk: int = 16, qdot_int8: bool = False,
 ):
     """[B, D] EXACT MaxSim of every query against every doc — doc-major.
 
@@ -283,6 +283,13 @@ def xla_exhaustive_batch(
     chunk is gathered ONCE and scored against the whole query batch as one
     [B*NQ, dim] x [dim, chunk*T] matmul — flat is read once per batch and
     the MXU sees full tiles. Used for `single_full` on every backend.
+
+    ``qdot_int8`` (int8 stores): quantize query token rows to int8 and run
+    the similarity dot as int8 x int8 -> int32 at the MXU's doubled int8
+    rate; the positive per-row query scales commute with the per-token max
+    over doc rows, so they fold into the qmask weighting (same math as
+    :func:`xla_exhaustive_packed` / the Pallas scan's qdot path — ADVICE r4:
+    the padded wire previously always scanned with bf16 queries).
     """
     cd = flat.dtype if flat.dtype != jnp.int8 else jnp.bfloat16
     b, nq, dim = tokens.shape
@@ -294,19 +301,32 @@ def xla_exhaustive_batch(
     scales_p = None
     if scales is not None:
         scales_p = jnp.pad(scales, (0, pad), constant_values=1.0) if pad else scales
-    q2 = tokens.astype(cd).reshape(b * nq, dim)
     qm = jnp.asarray(qmask, jnp.float32)
+    if qdot_int8:
+        from visual_rag_tpu.ops.kernels.maxsim_scan import quantize_queries_int8
+
+        q2, qs = quantize_queries_int8(tokens.reshape(b * nq, dim))
+        qm = qm * qs.reshape(b, nq)  # positive row scales commute with max
+    else:
+        q2 = tokens.astype(cd).reshape(b * nq, dim)
 
     def one(args):
         offs_c, lens_c, scales_c = args  # [chunk]
         idx = offs_c[:, None] + jnp.arange(max_len, dtype=jnp.int32)[None, :]
         idx = jnp.clip(idx, 0, flat.shape[0] - 1)
         docs = flat[idx]  # [chunk, T, dim] — gathered ONCE for all queries
-        sims = jax.lax.dot_general(
-            q2, docs.reshape(chunk * max_len, dim).astype(cd),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(b, nq, chunk, max_len)
+        if qdot_int8:
+            sims = jax.lax.dot_general(
+                q2, docs.reshape(chunk * max_len, dim),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(b, nq, chunk, max_len).astype(jnp.float32)
+        else:
+            sims = jax.lax.dot_general(
+                q2, docs.reshape(chunk * max_len, dim).astype(cd),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(b, nq, chunk, max_len)
         tmask = (jnp.arange(max_len, dtype=jnp.int32)[None, :]
                  < lens_c[:, None])  # [chunk, T]
         sims = jnp.where(tmask[None, None], sims, NEG_INF)
@@ -488,10 +508,16 @@ def xla_rerank_batch(
     return out[:, :k]
 
 
+# Candidate chunk of the refine gather below. _local_refine's HBM-transient
+# cap (parallel/sharded.py) derives its per-step byte estimate from this same
+# constant, so changing the default here keeps the OOM guard in sync.
+REFINE_CAND_CHUNK = 2
+
+
 @partial(jax.jit, static_argnames=("max_len", "chunk"))
 def xla_refine_rerank(
     flat, res4, res_scales, offsets, lengths, tokens, qmask, candidates,
-    max_len: int, doc_scales=None, chunk: int = 2,
+    max_len: int, doc_scales=None, chunk: int = REFINE_CAND_CHUNK,
 ):
     """[B, K] exact MaxSim at int8+int4 precision (the two-pass refinement).
 
