@@ -81,7 +81,9 @@ def test_bench_sigterm_still_emits_json():
             if not line:
                 break
             seen += line
-            if "rounds_256" in line or "drift" in line:
+            # any post-quick-pass stage means a measurement exists (r5 stage
+            # order: quick_256 -> rung_* -> oracle -> scale -> drift)
+            if any(s in line for s in ("rung_", "oracle", "drift")):
                 break
         else:
             raise AssertionError(f"never reached a measured stage: {seen}")
