@@ -61,6 +61,18 @@ def main():
     ap.add_argument("--max-tokens", type=int, default=256)
     ap.add_argument("--pooled-rows", type=int, default=12)
     ap.add_argument("--prefetch-k", type=int, default=200)
+    ap.add_argument("--modes", default="pooled,tokens,three",
+                    help="comma list of pooled,tokens,three (or 'none'); "
+                         "single_full is added by --exhaustive")
+    ap.add_argument("--stage-batch", type=int, default=256,
+                    help="batch size for the per-stage decomposition "
+                         "([B, D] f32 score transients OOM at bs=1024 "
+                         "next to a 12 GB index)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="measure mode QPS with the pipelined batches API "
+                         "(search_embedded_batches) instead of sequential "
+                         "batch calls — comparable to the bench.py headline")
+    ap.add_argument("--skip-stages", action="store_true")
     ap.add_argument("--exhaustive", action="store_true",
                     help="also run single_full (slow at scale)")
     ap.add_argument("--json-out", default=None)
@@ -98,25 +110,48 @@ def main():
               "index_gb": round(gb, 2), "build_s": round(build_s, 1)}
 
     # ---- end-to-end modes ---------------------------------------------------
-    modes = [
-        ("two_stage/pooled_q", dict(mode="two_stage", prefetch_k=args.prefetch_k,
-                                    stage1_mode="pooled_query_vs_standard_pooling")),
-        ("two_stage/tokens", dict(mode="two_stage", prefetch_k=args.prefetch_k,
-                                  stage1_mode="tokens_vs_standard_pooling")),
-        ("three_stage", dict(mode="three_stage", stage1_k=1000, stage2_k=300)),
-    ]
+    sel = set(args.modes.split(","))
+    modes = [(n, kw) for key, n, kw in [
+        ("pooled", "two_stage/pooled_q",
+         dict(mode="two_stage", prefetch_k=args.prefetch_k,
+              stage1_mode="pooled_query_vs_standard_pooling")),
+        ("tokens", "two_stage/tokens",
+         dict(mode="two_stage", prefetch_k=args.prefetch_k,
+              stage1_mode="tokens_vs_standard_pooling")),
+        ("three", "three_stage",
+         dict(mode="three_stage", stage1_k=1000, stage2_k=300)),
+    ] if key in sel]
     if args.exhaustive:
         modes.append(("single_full", dict(mode="single_full")))
     for name, kw in modes:
-        engine.search_embedded_batch(queries, top_k=10, with_payload=False, **kw)
-        dt = best_of(lambda: engine.search_embedded_batch(
-            queries, top_k=10, with_payload=False, **kw))
+        kwr = dict(kw, top_k=10, with_payload=False)
+        if args.pipeline:
+            kwr["return_arrays"] = True
+            n_rep = max(2, min(8, 4096 // B))
+            for _ in engine.search_embedded_batches([queries] * 2, **kwr):
+                pass  # warm
+            dt = best_of(lambda: [None for _ in engine.search_embedded_batches(
+                [queries] * n_rep, **kwr)]) / n_rep
+        else:
+            engine.search_embedded_batch(queries, **kwr)
+            dt = best_of(lambda: engine.search_embedded_batch(queries, **kwr))
         qps = B / dt
         report[name] = {"qps": round(qps, 1), "ms_per_batch": round(dt * 1000, 1)}
         print(f"{name:24s} {qps:8.1f} QPS  ({dt * 1000:.1f} ms/batch of {B})",
               flush=True)
+        if args.json_out:  # incremental: keep results if a later phase OOMs
+            Path(args.json_out).write_text(json.dumps(report, indent=1))
 
     # ---- stage decomposition ------------------------------------------------
+    if args.skip_stages:
+        if args.json_out:
+            Path(args.json_out).write_text(json.dumps(report, indent=1))
+        print(json.dumps(report), flush=True)
+        return
+    if args.stage_batch < B:
+        queries = queries[: args.stage_batch]
+        B = args.stage_batch
+        report["stage_batch"] = B
     tokens, qmask, pooled = BATCH.pad_queries(queries, 128)
     qmask = jnp.asarray(qmask, jnp.float32)
     s1 = engine._fused_arrays("mean_pooling")

@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--s1k", type=int, default=1000)
     ap.add_argument("--s2k", type=int, default=300)
+    ap.add_argument("--skip-qps", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +52,8 @@ def main():
     out = {"docs": args.docs, "s1k": args.s1k, "s2k": args.s2k}
 
     # ---- pipelined mode QPS at each batch size: three_stage vs two_stage
-    for bs in [int(x) for x in args.batches.split(",")]:
+    for bs in ([] if args.skip_qps
+               else [int(x) for x in args.batches.split(",")]):
         queries = [rng.standard_normal((int(rng.integers(8, 25)), 128))
                    .astype(np.float32) for _ in range(bs)]
         for mode, kw in (
@@ -92,8 +94,10 @@ def main():
     use_pallas = engine.batch_scorer.use_pallas
     approx = engine._approx_cut(min(args.s1k, args.s2k))
 
+    # stores are passed as ARGUMENTS: closing over device arrays embeds
+    # them as HLO constants -> remote_compile HTTP 413 at corpus scale
     @jax.jit
-    def stage1(q1, q2, q3):
+    def stage1(gstore, ragged, q1, q2, q3):
         tokens, qmask, pooled, packed = plans._prep_wire(
             q1, q2, q3, "packed", bs, nq)
         s1 = S._local_stage1("pooled_single", gstore, ragged, tokens, qmask,
@@ -102,7 +106,7 @@ def main():
         return tokens, qmask, c1
 
     @jax.jit
-    def stage2(tokens, qmask, c1):
+    def stage2(estore, tokens, qmask, c1):
         s2c = S._gathered_tokens_padded(estore, tokens, qmask, c1)
         v2, pos2 = jax.lax.top_k(s2c, args.s2k)
         c2 = jnp.where(v2 > plans.NEG_INF / 2,
@@ -115,7 +119,7 @@ def main():
     out["rerank_impl_bs256"] = impl
 
     @jax.jit
-    def stage3(q1, q2, q3, c2):
+    def stage3(ragged, q1, q2, q3, c2):
         tokens, qmask, pooled, packed = plans._prep_wire(
             q1, q2, q3, "packed", bs, nq)
         rr = S._local_rerank(ragged, tokens, qmask, c2, max_len, use_pallas,
@@ -123,9 +127,9 @@ def main():
         vals, pos = jax.lax.top_k(rr, 10)
         return vals
 
-    tokens, qmask, c1 = stage1(q1, q2, q3)
-    c2 = stage2(tokens, qmask, c1)
-    _sync(stage3(q1, q2, q3, c2))
+    tokens, qmask, c1 = stage1(gstore, ragged, q1, q2, q3)
+    c2 = stage2(estore, tokens, qmask, c1)
+    _sync(stage3(ragged, q1, q2, q3, c2))
 
     def best_of(f, *a):
         best = 1e9
@@ -136,9 +140,9 @@ def main():
             best = min(best, time.time() - t0)
         return round(best * 1000, 1)
 
-    out["s1_ms"] = best_of(stage1, q1, q2, q3)
-    out["s2_ms"] = best_of(stage2, tokens, qmask, c1)
-    out["s3_ms"] = best_of(stage3, q1, q2, q3, c2)
+    out["s1_ms"] = best_of(stage1, gstore, ragged, q1, q2, q3)
+    out["s2_ms"] = best_of(stage2, estore, tokens, qmask, c1)
+    out["s3_ms"] = best_of(stage3, ragged, q1, q2, q3, c2)
     print(json.dumps(out))
 
 
