@@ -62,6 +62,10 @@ def _residual_int4(flat_f32, codes, doc_scales, offsets, lengths):
     rs = np.maximum(rs, 1e-12).astype(np.float32)
     c4 = np.clip(np.rint(r / rs[:, None]), -7, 7).astype(np.int8) + 8  # [1,15]
     packed = (c4[:, 0::2] | (c4[:, 1::2] << 4)).astype(np.uint8)
+    # honor the "alignment padding stays zero" contract in the stored BYTES
+    # too (nibble-encoding a 0 residual is 0x88): padding rows already score
+    # 0 via rs=0, but zeroed bytes keep the streaming build bit-identical
+    packed *= (row_scale[:, None] > 0)
     rs = (rs * row_scale).astype(np.float32)  # padding rows contribute 0
     return packed, rs
 
@@ -150,6 +154,13 @@ class PaddedMultiVectors:
             max_rows = max((m.shape[0] for m in mats), default=1)
         max_rows = max(1, int(max_rows))
         d = len(mats)
+        if d:
+            from visual_rag_tpu.index import stream
+
+            if stream.should_stream(d * max_rows * dim * 4, max_rows, dim):
+                return stream.build_padded_streaming(
+                    mats, storage_dtype=storage_dtype, dim=dim,
+                    max_rows=max_rows)
         out = np.zeros((d, max_rows, dim), dtype=np.float32)
         mask = np.zeros((d, max_rows), dtype=bool)
         for i, m in enumerate(mats):
@@ -242,6 +253,14 @@ class RaggedMultiVectors:
         dim = mats[0].shape[1] if mats else (dim or DEFAULT_DIM)
         lengths = np.array([m.shape[0] for m in mats], dtype=np.int32)
         max_len = int(lengths.max()) if len(mats) else 1
+        if len(mats):
+            from visual_rag_tpu.index import stream
+
+            aligned = ((lengths.astype(np.int64) + 31) // 32) * 32
+            est = (int(aligned.sum()) + ((max_len + 31) // 32) * 32) * dim * 4
+            if stream.should_stream(est, int(aligned.max()), dim):
+                return stream.build_ragged_streaming(
+                    mats, storage_dtype=storage_dtype, dim=dim)
         src = (np.concatenate(mats, axis=0) if mats
                else np.zeros((0, dim), dtype=np.float32))
         # Each doc's block starts 32-row-aligned so Pallas DMA windows are

@@ -117,14 +117,27 @@ def pack_aligned(
     align: int = 32,
     tail_pad_rows: int = 0,
     normalize: bool = True,
+    out: np.ndarray = None,  # pre-ZEROED [>= aligned_total + tail_pad, dim]
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """-> (flat [aligned_total + tail_pad, dim] f32, offsets [n_docs] int64)."""
+    """-> (flat [aligned_total + tail_pad, dim] f32, offsets [n_docs] int64).
+
+    ``out``, when given, must be a contiguous pre-zeroed f32 buffer (the
+    scatter only writes real rows; alignment-gap rows keep whatever the
+    buffer holds) — the streaming seal reuses warm scratches this way.
+    """
     src = np.ascontiguousarray(src, dtype=np.float32)
     lengths = np.ascontiguousarray(lengths, dtype=np.int32)
     n_docs, dim = len(lengths), (src.shape[1] if src.ndim == 2 else 1)
     aligned = ((lengths.astype(np.int64) + align - 1) // align) * align
     total = int(aligned.sum())
-    flat = np.zeros((max(total, 1) + tail_pad_rows, dim), dtype=np.float32)
+    if out is not None:
+        flat = out
+        if (not flat.flags["C_CONTIGUOUS"] or flat.dtype != np.float32
+                or flat.shape[0] < total + tail_pad_rows):
+            raise ValueError("pack_aligned out= must be contiguous f32 with "
+                             "enough rows")
+    else:
+        flat = np.zeros((max(total, 1) + tail_pad_rows, dim), dtype=np.float32)
     offsets = np.zeros((n_docs,), dtype=np.int64)
     lib = _load_lib()
     if lib is not None and n_docs:
@@ -149,17 +162,31 @@ def pack_aligned(
     return flat, offsets
 
 
-def f32_to_bf16(x: np.ndarray) -> np.ndarray:
-    """fp32 -> bf16 numpy array (native RNE loop; ml_dtypes astype fallback)."""
+def f32_to_bf16(x: np.ndarray, out: np.ndarray = None) -> np.ndarray:
+    """fp32 -> bf16 numpy array (native RNE loop; ml_dtypes astype fallback).
+
+    ``out``, when given, is a contiguous uint16 (or bfloat16-viewable)
+    buffer of matching size; the result is a bfloat16 view of it.
+    """
     import ml_dtypes
 
     x = np.ascontiguousarray(x, dtype=np.float32)
     lib = _load_lib()
     if lib is None or x.size == 0:
-        return x.astype(ml_dtypes.bfloat16)
-    out = np.empty(x.shape, dtype=np.uint16)
-    lib.vrs_f32_to_bf16(x.ctypes.data, out.ctypes.data, x.size)
-    return out.view(ml_dtypes.bfloat16)
+        res = x.astype(ml_dtypes.bfloat16)
+        if out is not None:
+            o = out.view(np.uint16).reshape(x.shape)
+            o[...] = res.view(np.uint16)
+            return o.view(ml_dtypes.bfloat16)
+        return res
+    if out is not None:
+        o = out.view(np.uint16).reshape(x.shape)
+        if not o.flags["C_CONTIGUOUS"]:
+            raise ValueError("f32_to_bf16 out= must be contiguous")
+    else:
+        o = np.empty(x.shape, dtype=np.uint16)
+    lib.vrs_f32_to_bf16(x.ctypes.data, o.ctypes.data, x.size)
+    return o.view(ml_dtypes.bfloat16)
 
 
 def quantize_int8(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -182,17 +209,27 @@ def quantize_int8(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def quantize_per_doc(flat: np.ndarray, offsets: np.ndarray,
-                     lengths: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+                     lengths: np.ndarray,
+                     out: np.ndarray = None) -> Tuple[np.ndarray, np.ndarray]:
     """Per-DOC int8 quantization over the aligned ragged layout.
 
     -> (codes [N, dim] int8, scales [n_docs] f32); alignment-gap rows quantize
-    to 0 under any scale so they stay zeros.
+    to 0 under any scale so they stay zeros. ``out``, when given, must be a
+    pre-ZEROED contiguous int8 buffer of flat's shape (only real rows are
+    written).
     """
     flat = np.ascontiguousarray(flat, dtype=np.float32)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     lengths = np.ascontiguousarray(lengths, dtype=np.int32)
     n_docs, dim = len(lengths), flat.shape[1]
-    q = np.zeros(flat.shape, dtype=np.int8)
+    if out is not None:
+        q = out
+        if (q.dtype != np.int8 or not q.flags["C_CONTIGUOUS"]
+                or q.shape != flat.shape):
+            raise ValueError("quantize_per_doc out= must be contiguous int8 "
+                             "of flat's shape")
+    else:
+        q = np.zeros(flat.shape, dtype=np.int8)
     scales = np.ones((n_docs,), dtype=np.float32)
     lib = _load_lib()
     if lib is not None and n_docs:
