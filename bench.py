@@ -67,7 +67,11 @@ if os.environ.get("VISUALRAG_PLATFORM"):  # CPU smoke-testing; driver unset
 
 BASELINE_QPS = 20.0  # reference two_stage.py:62-64 illustration (~50 ms/query)
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
-HARD_CAP_S = float(os.environ.get("BENCH_HARD_CAP_S", "550"))
+# The hard cap exists for claim-stall runs: the axon terminal claim +
+# first-compile can eat 6+ min (observed 365 s in the r5 validation), and a
+# 550 s cap then starves the 1024/2048 rungs where the headline lives. The
+# SIGTERM handler still emits best-so-far if the driver kills us earlier.
+HARD_CAP_S = float(os.environ.get("BENCH_HARD_CAP_S", "640"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "3000"))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "2048"))
 SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
@@ -397,9 +401,9 @@ def _scale_phase(all_queries, kwr):
         pass
     _stage("measure_100k_two_stage")
     best = 0.0
-    for _ in range(3):
-        if _elapsed() > _state["deadline"] - 70:
-            break
+    for i in range(3):
+        if i and _elapsed() > _state["deadline"] - 70:
+            break  # always take >= 1 rep; a rep is ~5 s warm
         t0 = time.time()
         for _ in eng.search_embedded_batches(rung * 4, **kwr):
             pass
@@ -417,9 +421,9 @@ def _scale_phase(all_queries, kwr):
         pass
     _stage("measure_100k_single_full")
     best_sf = 0.0
-    for _ in range(2):
-        if _elapsed() > _state["deadline"] - 45:
-            break
+    for i in range(2):
+        if i and _elapsed() > _state["deadline"] - 45:
+            break  # always take >= 1 rep
         t0 = time.time()
         for _ in eng.search_embedded_batches(rung_sf * 4, **kw_sf):
             pass
@@ -522,8 +526,12 @@ def main():
     # 512->3692, 1024->5254) — never ran; the drift loop then fell back to
     # bs=256). The 256 quick pass above is the guaranteed floor; everything
     # after it runs in headline-value order: rungs, oracle, 100k, drift.
+    # Gates are sized to WARM reality (r5 validation: warm_256 ran in 1 s on
+    # a hot compile cache; a rung is ~15-25 s warm+timed), reserving ~55 s
+    # for oracle + the 100k phase — the old 170/150 s leads assumed cold
+    # compiles and skipped the rungs exactly on the runs that needed them.
     warm_rungs = []
-    for lead_stop, bs_rung in ((170, 1024), (150, 2048)):
+    for lead_stop, bs_rung in ((95, 1024), (75, 2048)):
         if _elapsed() > deadline - lead_stop:  # leave oracle + 100k their slot
             continue
         _stage(f"rung_{bs_rung}")
@@ -536,7 +544,7 @@ def main():
             pass
         warm_rungs.append((bs_rung, rung, n_rep))
         for _ in range(2):
-            if _elapsed() > deadline - (lead_stop - 30):
+            if _elapsed() > deadline - (lead_stop - 25):
                 break
             t0 = time.time()
             for _res in engine.search_embedded_batches(rung * n_rep, **kwr):
@@ -563,7 +571,8 @@ def main():
 
     # 100k phase (VERDICT r4 #2): runs BEFORE the drift tail so it always
     # gets budget on a warm-cache run; any failure leaves its keys null.
-    if (SCALE_DOCS and _elapsed() < deadline - 110
+    # ~45 s warm (r5 validation: synth 2 s + warms 11 s + reps + oracle).
+    if (SCALE_DOCS and _elapsed() < deadline - 55
             and not os.environ.get("BENCH_SKIP_SCALE")):
         try:
             _scale_phase(all_queries, kwr)
