@@ -361,6 +361,8 @@ def _measured_sample(engine, rung, n_rep, kwr, rtt_probe, pack_probe,
     wall = time.time() - t0
     c1 = _cpu_snapshot()
     qps = n_rep * bs_rung * len(rung) / wall
+    from visual_rag_tpu.utils.hostbuf import HOST_POOL
+
     rec = {
         "t": round(_elapsed(), 1), "bs": bs_rung, "qps": round(qps, 1),
         "batch_ms": round(wall * 1000 / n_batches, 1),
@@ -371,6 +373,10 @@ def _measured_sample(engine, rung, n_rep, kwr, rtt_probe, pack_probe,
         "other_cpu_frac": round(
             max(0.0, (c1[1] - c0[1]) - (c1[0] - c0[0])) / max(wall, 1e-6), 3),
         "load1": c1[3],
+        # r5: hostbuf LRU thrash showed up as pack_ms 94->816 ms; the pool
+        # counters make eviction-driven slumps attributable in the artifact
+        "pool_evictions": HOST_POOL.evictions,
+        "pool_mb": round(HOST_POOL._bytes / 1e6, 1),
     }
     with _lock:
         _state["samples"].append(rec)

@@ -50,12 +50,19 @@ class HostBufferPool:
         import os
 
         self.depth = depth
+        # r5 drift attribution: with the old 1024 MB cap, a server
+        # alternating two large batch buckets (e.g. 1024/2048) evicted one
+        # bucket's keys while the other ran, and every sample re-paid the
+        # fresh-page fault tax (pack_ms 94 -> 816 ms in the slow quartile,
+        # self_cpu_frac 0.07 -> 0.54 — measured in BENCH drift samples).
+        # The host has 125 GB; 3 GB of warm wire buffers is the right trade.
         self.max_bytes = (max_bytes if max_bytes is not None else
                           int(os.environ.get("VISUALRAG_HOSTBUF_MB",
-                                             "1024")) << 20)
+                                             "3072")) << 20)
         self._slots: dict = {}  # insertion order == LRU order
         self._bytes = 0
         self._pending: dict = {}  # id(buf) -> device array it was shipped as
+        self.evictions = 0  # observability: drift instrumentation reads this
 
     def get(self, shape, dtype, fill=None) -> np.ndarray:
         """A warm buffer of (shape, dtype); ``fill`` (if given) overwrites
@@ -64,12 +71,18 @@ class HostBufferPool:
         key = (tuple(shape), np.dtype(dtype).str)
         slot = self._slots.pop(key, None)  # pop+reinsert: move to LRU tail
         if slot is None:
-            slot = [[np.zeros(shape, dtype) for _ in range(self.depth)], 0]
+            # hugepage-backed (utils/hostmem): anonymous mmap pages start
+            # zeroed like np.zeros, and MADV_HUGEPAGE makes the first-touch
+            # fault 9x cheaper — an evicted key's refill cost drops with it
+            from visual_rag_tpu.utils.hostmem import huge_empty
+
+            slot = [[huge_empty(shape, dtype) for _ in range(self.depth)], 0]
             self._bytes += sum(b.nbytes for b in slot[0])
         self._slots[key] = slot
         while self._bytes > self.max_bytes and len(self._slots) > 1:
             old = next(iter(self._slots))  # LRU head (never the key just used)
             bufs, _ = self._slots.pop(old)
+            self.evictions += 1
             for b in bufs:
                 self._bytes -= b.nbytes
                 self._pending.pop(id(b), None)
