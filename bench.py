@@ -610,9 +610,15 @@ def main():
     if not drift_rungs:
         drift_rungs = [(bs, [queries[:bs]], max(2, 8192 // bs))]
 
+    # probe the same wire dtype the engine resolves for this rung (r5: auto
+    # = f16 on TPU at bs >= 1024 — the A/B measured +40% sustained at 2048)
+    probe_wire = (np.float16 if (not os.environ.get("VISUALRAG_PLATFORM")
+                                 and drift_rungs[-1][0] >= 1024)
+                  else np.float32)
+
     def pack_probe(_qs=drift_rungs[-1][1][0]):
         t0 = time.time()
-        B.pack_queries_grouped(_qs, dim, wire_dtype=np.float32)
+        B.pack_queries_grouped(_qs, dim, wire_dtype=probe_wire)
         return (time.time() - t0) * 1000.0
 
     while _elapsed() < deadline - 12 and drift_rungs:

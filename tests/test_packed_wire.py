@@ -356,3 +356,37 @@ class TestReturnArraysAndDepth:
         out = eng.search_embedded_batch([], with_payload=False,
                                         return_arrays=True)
         assert len(out) == 0
+
+
+class TestWireDtype:
+    """r5 f16 query wire (auto at bs >= 1024 on TPU; measured +40% sustained
+    at bs=2048 — the query wire dominates per-batch tunnel payload)."""
+
+    def test_f16_wire_near_parity_with_f32(self, small_index):
+        e32 = RetrievalEngine(small_index, wire_dtype="f32")
+        e16 = RetrievalEngine(small_index, wire_dtype="f16")
+        rng = np.random.default_rng(5)
+        qs = [rng.standard_normal((int(rng.integers(6, 20)), 128)).astype(np.float32)
+              for _ in range(32)]
+        kw = dict(mode="two_stage", top_k=10, prefetch_k=50,
+                  with_payload=False)
+        a = e32.search_embedded_batch(qs, **kw)
+        b = e16.search_embedded_batch(qs, **kw)
+        for ra, rb in zip(a, b):
+            assert ra[0]["id"] == rb[0]["id"]  # top-1 robust to f16 rounding
+            da = {h["id"]: h.get("score_final", h.get("score")) for h in ra}
+            db = {h["id"]: h.get("score_final", h.get("score")) for h in rb}
+            common = set(da) & set(db)
+            assert len(common) >= 9  # at most one near-tie boundary swap
+            # per-id score shift bounded by f16 query rounding noise
+            assert max(abs(da[i] - db[i]) for i in common) < 5e-3
+
+    def test_wire_dtype_validation(self, small_index):
+        with pytest.raises(ValueError, match="wire_dtype"):
+            RetrievalEngine(small_index, wire_dtype="bf16")
+
+    def test_auto_keeps_f32_off_tpu(self, small_index):
+        # CPU tests pin bit-exact cross-path equality; auto must not flip
+        # them to f16 there
+        eng = RetrievalEngine(small_index)
+        assert eng.wire_dtype in ("auto", "f32")

@@ -768,6 +768,11 @@ class ShardedEngine(EngineCommon):
             raise ValueError(
                 f"query_wire must be auto|padded|packed, got {query_wire}")
         self.query_wire = query_wire
+        wire_dtype = _os.environ.get("VISUALRAG_WIRE_DTYPE", "auto")
+        if wire_dtype not in ("auto", "f32", "f16"):
+            raise ValueError(
+                f"VISUALRAG_WIRE_DTYPE must be auto|f32|f16, got {wire_dtype}")
+        self.wire_dtype = wire_dtype
         self._plans: Dict[Any, Any] = {}
 
     def _cut_corpus_size(self) -> int:
@@ -1077,14 +1082,19 @@ class ShardedEngine(EngineCommon):
                     return_arrays, {})
         dim = next(iter(si.stores.values()))
         dim = list(dim.values())[0].shape[-1]
-        # f32 wire (r4): the host-side f16 cast costs more than the saved
-        # transfer on this 1-core host — see utils/hostbuf.py / engine.py
-        wire = np.float32
         # Bucket B exactly like RetrievalEngine (shared EngineCommon ladder —
         # an unbucketed 33-query batch crashed the packed serving wire);
         # _finish_batch slices results back to n_real.
         query_embeddings, n_real, b_real = self._bucket_batch(
             query_embeddings)
+        # r5 wire dtype policy mirrors engine.py: f16 at serving batch sizes
+        # on TPU (the query wire dominates per-batch tunnel payload), f32 on
+        # CPU (bit-exact test contract, memcpy transfer)
+        wire = np.float32
+        if (self.wire_dtype == "f16"
+                or (self.wire_dtype == "auto" and self.use_pallas
+                    and b_real >= 1024)):
+            wire = np.float16
         use_packed = (self.query_wire == "packed"
                       or (self.query_wire == "auto" and self.use_pallas
                           and b_real >= 32))

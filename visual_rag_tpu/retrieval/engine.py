@@ -288,6 +288,7 @@ class RetrievalEngine(EngineCommon):
         stage1_cut: str = "auto",
         rerank_impl: str = "auto",
         query_wire: str = "auto",
+        wire_dtype: str = "auto",
     ):
         self.index = index
         self.full_vector_name = full_vector_name
@@ -322,6 +323,19 @@ class RetrievalEngine(EngineCommon):
         # defaults to the padded wire; on TPU bf16 the documented rounding
         # tolerance already covers it.
         self.query_wire = query_wire
+        if wire_dtype == "auto":
+            wire_dtype = _os.environ.get("VISUALRAG_WIRE_DTYPE", wire_dtype)
+        if wire_dtype not in ("auto", "f32", "f16"):
+            raise ValueError(
+                f"wire_dtype must be auto|f32|f16, got {wire_dtype}")
+        # auto = f16 on TPU at serving batch sizes (the query wire is the
+        # biggest per-batch payload: 25 MB f32 at bs=2048; this tunnel ships
+        # content-compressed at ~20-60 MB/s, so halving it saves 100-300 ms
+        # per batch against a ~25 ms one-pass clip+cast on the host — the r4
+        # f32 decision assumed a much faster wire than the r5 drift
+        # instrumentation measured). CPU keeps f32: tests pin bit-exact
+        # cross-path rank equality there and host->host transfer is memcpy.
+        self.wire_dtype = wire_dtype
         self._bucket_cache: Dict[str, Any] = {}
         self._batch_scorer = None
         self._mask_cache: Dict[Any, jnp.ndarray] = {}
@@ -614,12 +628,12 @@ class RetrievalEngine(EngineCommon):
         query_embeddings, n_real, b_bucket = self._bucket_batch(
             query_embeddings)
         dim = next(iter(self.index.stores.values())).dim
-        # r4: the wire is f32 — the host-side f32->f16 cast costs ~43 ms per
-        # 2048-query batch on this 1-core host while the saved transfer is
-        # ~10 ms at tunnel bandwidth (page-fault profile in batch._WirePool);
-        # f32 also restores bit-parity with the padded-path normalization
         use_pallas = self.batch_scorer.use_pallas
         wire = np.float32
+        if (self.wire_dtype == "f16"
+                or (self.wire_dtype == "auto" and use_pallas
+                    and b_bucket >= 1024)):
+            wire = np.float16
         use_packed = (self.query_wire == "packed"
                       or (self.query_wire == "auto" and use_pallas
                           and b_bucket >= 32))
