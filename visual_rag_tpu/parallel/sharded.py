@@ -520,10 +520,15 @@ def _local_tokens_padded_packed(s1, qpacked, seg, use_pallas):
     vals_t, mask_t = s1["vals_t"], s1["mask_t"]
     scales_t = s1.get("scales_t")
     if use_pallas:
+        from visual_rag_tpu.ops.kernels.prefetch_topk import (
+            auto_block_d_packed,
+        )
+
         return pooled_maxsim_scores_packed(
             vals_t, mask_t, qpacked, seg, scales_t,
-            block_d=auto_block_d(int(vals_t.shape[0]), vals_t.dtype.itemsize,
-                                 int(vals_t.shape[-1])))
+            block_d=auto_block_d_packed(
+                int(vals_t.shape[0]), vals_t.dtype.itemsize,
+                int(seg.shape[2]), int(vals_t.shape[-1])))
     g, gq, rg = seg.shape
     cd = _compute_dtype_for(vals_t)
     sims = jnp.einsum("md,pnd->mpn", qpacked.astype(cd), vals_t.astype(cd),
