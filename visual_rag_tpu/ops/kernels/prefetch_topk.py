@@ -85,20 +85,18 @@ def _kernel_qbatch(vals_ref, mask_ref, scales_ref, q_ref, qmask_ref, out_ref):
     p, bd, dim = vals_ref.shape
     b, nq = qmask_ref.shape
     q = q_ref[:]  # [B*NQ, dim]
-
-    def body(row, running):
-        sims = jax.lax.dot_general(
-            q, vals_ref[row].astype(q.dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [B*NQ, BD]
-        sims = sims * scales_ref[row][None, :]
-        valid = mask_ref[row] > 0
-        sims = jnp.where(valid[None, :], sims, NEG_INF)
-        return jnp.maximum(running, sims)
-
-    running = jax.lax.fori_loop(
-        0, p, body, jnp.full((b * nq, bd), NEG_INF, dtype=jnp.float32))
+    # r5: P rows fold into ONE MXU dot like _kernel_packed (the fori_loop
+    # issued P small K=128 matmuls with VPU max/mask between them)
+    flat = vals_ref[...].reshape(p * bd, dim)
+    sims = jax.lax.dot_general(
+        q, flat.astype(q.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B*NQ, P*BD]
+    sims = sims * scales_ref[...].reshape(1, p * bd)
+    sims3 = sims.reshape(b * nq, p, bd)  # lane dim stays BD (128-multiple)
+    sims3 = jnp.where(mask_ref[...].reshape(1, p, bd) > 0, sims3, NEG_INF)
+    running = jnp.max(sims3, axis=1)  # [B*NQ, BD]
     has_rows = jnp.max(mask_ref[:], axis=0, keepdims=True) > 0  # [1, BD]
     per_q = jnp.where(has_rows, running, 0.0)  # [B*NQ, BD]
     # per-query token sum: split the sublane dim (lane dim untouched ->
