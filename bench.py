@@ -312,6 +312,24 @@ def _retry_fresh_process():
     os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
 
 
+def _make_mem_probe():
+    """Warm host-to-host memcpy bandwidth (MB/s): distinguishes 'the host
+    memory itself slowed' (co-tenant bandwidth contention) from 'the axon
+    client spun on tunnel backpressure' when pack_ms balloons — both read
+    as self-CPU in /proc, but only the former moves this probe."""
+    src = np.ones((4 * 1024 * 1024,), np.float32)  # 16 MB, touched
+    dst = np.ones_like(src)
+
+    def probe():
+        t0 = time.time()
+        np.copyto(dst, src)
+        dt = time.time() - t0
+        return 16.0 / max(dt, 1e-9)
+
+    probe()  # warm
+    return probe
+
+
 def _make_rtt_probe():
     """Tiny device round-trip (8x128 add + scalar fetch): an independent
     measure of dispatch+tunnel latency, warm-compiled once."""
@@ -331,7 +349,7 @@ def _make_rtt_probe():
 
 
 def _measured_sample(engine, rung, n_rep, kwr, rtt_probe, pack_probe,
-                     bs_rung, sink):
+                     bs_rung, sink, mem_probe=None):
     """One instrumented drift sample: pipelined batches (depth 2, identical
     mechanics to engine.search_embedded_batches) with dispatch/finish split
     timing, bracketed by CPU snapshots; independent RTT + wire-pack probes
@@ -340,6 +358,7 @@ def _measured_sample(engine, rung, n_rep, kwr, rtt_probe, pack_probe,
 
     rtt_ms = rtt_probe()
     pack_ms = pack_probe()
+    mem_mbps = mem_probe() if mem_probe is not None else 0.0
     c0 = _cpu_snapshot()
     t0 = time.time()
     disp = fin = 0.0
@@ -377,6 +396,7 @@ def _measured_sample(engine, rung, n_rep, kwr, rtt_probe, pack_probe,
         # counters make eviction-driven slumps attributable in the artifact
         "pool_evictions": HOST_POOL.evictions,
         "pool_mb": round(HOST_POOL._bytes / 1e6, 1),
+        "mem_mbps": round(mem_mbps, 0),
     }
     with _lock:
         _state["samples"].append(rec)
@@ -621,12 +641,18 @@ def main():
         B.pack_queries_grouped(_qs, dim, wire_dtype=probe_wire)
         return (time.time() - t0) * 1000.0
 
+    try:
+        mem_probe = _make_mem_probe()
+    except Exception:
+        mem_probe = None
+
     while _elapsed() < deadline - 12 and drift_rungs:
         for bs_rung, rung, n_rep in reversed(drift_rungs):
             if _elapsed() > deadline - 12:
                 break
             qps = _measured_sample(engine, rung, n_rep, kwr, rtt_probe,
-                                   pack_probe, bs_rung, sink)
+                                   pack_probe, bs_rung, sink,
+                                   mem_probe=mem_probe)
             _record(qps)
             print(f"# t={_elapsed():.0f}s drift bs={bs_rung} qps={qps:.0f}",
                   file=sys.stderr, flush=True)
