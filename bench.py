@@ -72,6 +72,11 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 # 550 s cap then starves the 1024/2048 rungs where the headline lives. The
 # SIGTERM handler still emits best-so-far if the driver kills us earlier.
 HARD_CAP_S = float(os.environ.get("BENCH_HARD_CAP_S", "640"))
+# No-measurement cap: while the terminal claim / first execution is still
+# pending, the watchdog waits up to this long (see _watchdog for why giving
+# up earlier is strictly worse). Once ANY measurement exists, HARD_CAP_S /
+# the deadline govern as before.
+CLAIM_CAP_S = float(os.environ.get("BENCH_CLAIM_CAP_S", "1800"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "3000"))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", "2048"))
 SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
@@ -272,20 +277,28 @@ def _die(signum, _frame):
 
 
 def _watchdog():
-    # Soft budget while measuring; adaptive extension (30 s steps, capped at
-    # HARD_CAP_S) while the first execution / terminal claim is still pending.
+    # Soft budget while measuring; adaptive extension while the first
+    # execution / terminal claim is still pending. While NO measurement
+    # exists, giving up is strictly worse than waiting: emitting 0.0 wastes
+    # the run AND exits mid-device-execution, which poisons the terminal
+    # claim for the NEXT process (observed cascade 2026-08-19: a 640 s-capped
+    # run died in its claim, and the following run stalled past 630 s too).
+    # So the no-measurement cap is CLAIM_CAP_S (default 30 min); a driver
+    # that loses patience SIGTERMs us and _die emits the same best-so-far.
     last_note = 0.0
     while True:
         time.sleep(5.0)
         el = _elapsed()
         if el - last_note >= 30.0:  # breadcrumbs for stall postmortems
             last_note = el
+            note = "" if _have_measurement() else " (claim pending)"
             print(f"# t={el:.0f}s stage={_state.get('stage')} "
-                  f"best={_state['best_qps']:.0f}", file=sys.stderr, flush=True)
+                  f"best={_state['best_qps']:.0f}{note}",
+                  file=sys.stderr, flush=True)
         if _have_measurement():
             if el >= _state["deadline"]:
                 break
-        elif el >= HARD_CAP_S:
+        elif el >= CLAIM_CAP_S:
             break
     _emit()
     os._exit(0)
@@ -302,7 +315,7 @@ def _retry_fresh_process():
     a FRESH process — jax caches a failed backend for the process lifetime.
     T0/attempt ride through the environment so the budget never resets."""
     attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
-    if _elapsed() > HARD_CAP_S - 90 or attempt >= 6:
+    if _elapsed() > CLAIM_CAP_S - 90 or attempt >= 6:
         _emit()  # out of budget: report what we have (0.0 if never measured)
         os._exit(0)
     os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
@@ -513,6 +526,8 @@ def main():
     # terminal claim, so the watchdog can never report zero once ANY
     # execution has succeeded.
     _stage("micro_warm")
+    if os.environ.get("BENCH_FAKE_STALL"):  # test hook: simulate a terminal
+        time.sleep(10 ** 6)                 # claim that never resolves
     micro = [queries[:32]]
     for _ in engine.search_embedded_batches(micro * 2, **kw):
         pass

@@ -62,6 +62,26 @@ def test_bench_emits_json_and_oracle():
     assert rec["oracle_ok"] is True, rec
 
 
+def test_bench_claim_stall_waits_past_hard_cap_then_emits():
+    """A terminal-claim stall (no measurement ever) must NOT give up at
+    HARD_CAP_S — exiting mid-claim poisons the next process's claim — but
+    must still emit the 0.0 JSON line at CLAIM_CAP_S (simulated here with
+    the BENCH_FAKE_STALL hook and a tiny cap)."""
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, str(BENCH)],
+        cwd=REPO, env=_env(BENCH_FAKE_STALL=1, BENCH_BUDGET_S=5,
+                           BENCH_HARD_CAP_S=6, BENCH_CLAIM_CAP_S=18),
+        capture_output=True, text=True, timeout=120,
+    )
+    took = time.time() - t0
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = _parse_line(proc.stdout)
+    assert rec["value"] == 0.0
+    # survived past HARD_CAP (6 s) and emitted around CLAIM_CAP (18 s)
+    assert took > 10, f"gave up at {took:.0f}s (HARD_CAP?)"
+
+
 def test_bench_sigterm_still_emits_json():
     """External timeout-kill (the round-2 failure mode): TERM mid-run must
     still flush the best-so-far JSON line and exit 0."""

@@ -277,6 +277,136 @@ class TestPackedKernelInterpret:
         np.testing.assert_allclose(got_kernel, want, atol=2e-4, rtol=1e-4)
 
 
+class TestTokensQdot:
+    """qdot stage-1 (late r5): on int8 pooled stores, a PREFETCH tokens scan
+    quantizes the query rows too and rides the int8 MXU rate. The exact
+    rerank that always follows a prefetch re-scores the final window, so the
+    query rounding only perturbs candidate selection — final scores must be
+    untouched. Modes whose tokens_padded scores are final keep bf16 queries.
+    """
+
+    @pytest.fixture(scope="class")
+    def int8_store(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(21)
+        p, d, dim = 4, 48, DIM
+        vals = rng.standard_normal((p, d, dim)).astype(np.float32)
+        scales = (np.abs(vals).max(axis=2) / 127.0 + 1e-9).astype(np.float32)
+        codes = np.clip(np.round(vals / scales[:, :, None]),
+                        -127, 127).astype(np.int8)
+        mask = (rng.random((p, d)) > 0.2).astype(np.float32)
+        mask[:, 7] = 0.0  # one empty doc
+        return {"vals_t": jnp.asarray(codes), "mask_t": jnp.asarray(mask),
+                "scales_t": jnp.asarray(scales)}
+
+    def _wire(self, n=32, seed=22):
+        import jax.numpy as jnp
+
+        from visual_rag_tpu.retrieval.plans import _prep_queries_packed
+
+        rng = np.random.default_rng(seed)
+        qs = _queries(n, rng)
+        (packed, pos, qid), nq, rg = B.pack_queries_grouped(qs, DIM)
+        return _prep_queries_packed(jnp.asarray(packed), jnp.asarray(pos),
+                                    jnp.asarray(qid), n, nq)
+
+    def test_qdot_paths_agree(self, int8_store):
+        """Packed Pallas kernel (interpret), packed XLA fallback and padded
+        XLA/qbatch fallbacks must agree on the qdot scores (f32 accumulation
+        order is the only difference)."""
+        from visual_rag_tpu.ops.kernels.prefetch_topk import (
+            pooled_maxsim_scores_packed, pooled_maxsim_scores_qbatch)
+        from visual_rag_tpu.parallel.sharded import (
+            _local_tokens_padded, _local_tokens_padded_packed)
+
+        tokens, qmask, pooled, pk = self._wire()
+        want = np.asarray(_local_tokens_padded_packed(
+            int8_store, pk["q"], pk["seg"], False, qdot=True))
+        got_pad = np.asarray(_local_tokens_padded(
+            int8_store, tokens, qmask, False, qdot=True))
+        np.testing.assert_allclose(got_pad, want, atol=2e-4, rtol=1e-4)
+        got_kernel = np.asarray(pooled_maxsim_scores_packed(
+            int8_store["vals_t"], int8_store["mask_t"], pk["q"], pk["seg"],
+            int8_store["scales_t"], block_d=128, interpret=True,
+            qdot_int8=True))
+        np.testing.assert_allclose(got_kernel, want, atol=2e-4, rtol=1e-4)
+        got_qb = np.asarray(pooled_maxsim_scores_qbatch(
+            int8_store["vals_t"], int8_store["mask_t"], tokens, qmask,
+            int8_store["scales_t"], block_d=128, q_chunk=8, interpret=True,
+            qdot_int8=True))
+        np.testing.assert_allclose(got_qb, want, atol=2e-4, rtol=1e-4)
+
+    def test_qdot_close_to_bf16_queries(self, int8_store):
+        """Query rounding is ~2^-8 relative — qdot stage-1 scores track the
+        bf16-query scores closely and agree on the per-query top doc for a
+        decisive (non-tied) corpus."""
+        from visual_rag_tpu.parallel.sharded import _local_tokens_padded_packed
+
+        _, _, _, pk = self._wire(seed=23)
+        a = np.asarray(_local_tokens_padded_packed(
+            int8_store, pk["q"], pk["seg"], False, qdot=False))
+        b = np.asarray(_local_tokens_padded_packed(
+            int8_store, pk["q"], pk["seg"], False, qdot=True))
+        # per-token rounding ~2^-8 x ~20 tokens/query: abs tolerance only
+        # (scores near zero make relative bounds meaningless)
+        np.testing.assert_allclose(a, b, atol=0.1)
+        assert np.abs(a - b).mean() < 0.05
+
+    def test_two_stage_qdot_final_scores_unchanged(self, monkeypatch):
+        """With prefetch >= corpus BOTH stage-1 variants select every doc, so
+        the exact rerank decides everything: qdot-on and qdot-off two_stage
+        must return identical hits. (The off-run uses a different batch
+        bucket: _TOKENS_QDOT is read at trace time and the plan cache keys on
+        static args only, so same-shape calls would reuse the qdot trace.)"""
+        import visual_rag_tpu.parallel.sharded as sh
+
+        idx = synthetic_index(257, min_tokens=32, max_tokens=96,
+                              pooled_rows=4, storage_dtype="int8", seed=24)
+        eng = RetrievalEngine(idx, query_wire="packed")
+        rng = np.random.default_rng(25)
+        qs = _queries(33, rng)
+        kw = dict(mode="two_stage", top_k=7, prefetch_k=257,
+                  stage1_mode="tokens_vs_standard_pooling", with_payload=False)
+        on = eng.search_embedded_batch(qs[:32], **kw)  # bucket 32, qdot on
+        monkeypatch.setattr(sh, "_TOKENS_QDOT", False)
+        off = eng.search_embedded_batch(qs, **kw)  # bucket 64: fresh trace
+        for ra, rb in zip(on, off[:32]):
+            assert [h["id"] for h in ra] == [h["id"] for h in rb]
+            np.testing.assert_array_equal(
+                [h["score_final"] for h in ra],
+                [h["score_final"] for h in rb])
+
+    def test_final_score_modes_keep_bf16_queries(self, monkeypatch):
+        """single_tiles returns tokens_padded scores as FINAL scores — the
+        stage-1 qdot gate must stay off there (and on for the two_stage
+        prefetch) on the same int8 store."""
+        import visual_rag_tpu.parallel.sharded as sh
+
+        seen = []
+        orig = sh._local_tokens_padded_packed
+
+        def spy(s1, q, seg, use_pallas, qdot=False):
+            seen.append(qdot)
+            return orig(s1, q, seg, use_pallas, qdot=qdot)
+
+        monkeypatch.setattr(sh, "_local_tokens_padded_packed", spy)
+        # fresh corpus geometry -> fresh jit traces (the spy only observes
+        # tracing, and cached plans from other tests would bypass it)
+        idx = synthetic_index(211, min_tokens=32, max_tokens=96,
+                              pooled_rows=4, storage_dtype="int8", seed=26)
+        eng = RetrievalEngine(idx, query_wire="packed")
+        qs = _queries(32, np.random.default_rng(27))
+        eng.search_embedded_batch(qs, mode="single_tiles", top_k=3,
+                                  with_payload=False)
+        assert seen == [False]
+        seen.clear()
+        eng.search_embedded_batch(
+            qs, mode="two_stage", top_k=3, prefetch_k=40,
+            stage1_mode="tokens_vs_standard_pooling", with_payload=False)
+        assert seen == [True]
+
+
 class TestReturnArraysAndDepth:
     def test_return_arrays_matches_dicts(self, small_index):
         eng = RetrievalEngine(small_index)

@@ -84,15 +84,25 @@ def _kernel_qbatch(vals_ref, mask_ref, scales_ref, q_ref, qmask_ref, out_ref):
     # out:   [B, BD]
     p, bd, dim = vals_ref.shape
     b, nq = qmask_ref.shape
-    q = q_ref[:]  # [B*NQ, dim]
+    q = q_ref[:]  # [B*NQ, dim] (int8 codes on the qdot path)
     # r5: P rows fold into ONE MXU dot like _kernel_packed (the fori_loop
     # issued P small K=128 matmuls with VPU max/mask between them)
     flat = vals_ref[...].reshape(p * bd, dim)
-    sims = jax.lax.dot_general(
-        q, flat.astype(q.dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B*NQ, P*BD]
+    if q.dtype == jnp.int8:
+        # qdot: int8 x int8 -> int32 at the MXU's doubled int8 rate; the
+        # per-row query scales ride pre-folded into qmask_ref (positive, so
+        # they commute with the max over P below)
+        sims = jax.lax.dot_general(
+            q, flat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # [B*NQ, P*BD]
+    else:
+        sims = jax.lax.dot_general(
+            q, flat.astype(q.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B*NQ, P*BD]
     sims = sims * scales_ref[...].reshape(1, p * bd)
     sims3 = sims.reshape(b * nq, p, bd)  # lane dim stays BD (128-multiple)
     sims3 = jnp.where(mask_ref[...].reshape(1, p, bd) > 0, sims3, NEG_INF)
@@ -126,13 +136,23 @@ def _kernel_packed(vals_ref, mask_ref, scales_ref, q_ref, seg_ref, out_ref):
     # out:   [1, gq, BD]
     p, bd, dim = vals_ref.shape
     rg = q_ref.shape[1]
-    q = q_ref[0]  # [Rg, dim]
+    q = q_ref[0]  # [Rg, dim] (int8 codes on the qdot path)
     flat = vals_ref[...].reshape(p * bd, dim)  # leading-dim flatten (legal)
-    sims = jax.lax.dot_general(
-        q, flat.astype(q.dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Rg, P*BD]
+    if q.dtype == jnp.int8:
+        # qdot: int8 x int8 -> int32 (exact integer MXU dot, 2x bf16 rate);
+        # per-row query scales are pre-folded into seg_ref — positive, so
+        # they commute with the max over P
+        sims = jax.lax.dot_general(
+            q, flat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # [Rg, P*BD]
+    else:
+        sims = jax.lax.dot_general(
+            q, flat.astype(q.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Rg, P*BD]
     sims = sims * scales_ref[...].reshape(1, p * bd)
     sims3 = sims.reshape(rg, p, bd)  # lane dim stays BD (128-multiple)
     sims3 = jnp.where(mask_ref[...].reshape(1, p, bd) > 0, sims3, NEG_INF)
@@ -147,7 +167,8 @@ def _kernel_packed(vals_ref, mask_ref, scales_ref, q_ref, seg_ref, out_ref):
     )  # [gq, BD]
 
 
-@functools.partial(jax.jit, static_argnames=("block_d", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_d", "interpret",
+                                              "qdot_int8"))
 def pooled_maxsim_scores_packed(
     values_t: jnp.ndarray,  # [P, D, dim] P-leading
     mask_t: jnp.ndarray,  # [P, D]
@@ -156,6 +177,7 @@ def pooled_maxsim_scores_packed(
     scales_t: jnp.ndarray | None = None,
     block_d: int = 256,
     interpret: bool = False,
+    qdot_int8: bool = False,  # int8 store: quantize queries, int8 MXU dot
 ) -> jnp.ndarray:
     """Group-packed stage-1 scores [B, D] (B = G*gq); grid (G, doc blocks)."""
     p, d, dim = values_t.shape
@@ -170,9 +192,23 @@ def pooled_maxsim_scores_packed(
         values_t = jnp.pad(values_t, ((0, 0), (0, d_pad - d), (0, 0)))
         mask_t = jnp.pad(mask_t, ((0, 0), (0, d_pad - d)))
         scales_t = jnp.pad(scales_t, ((0, 0), (0, d_pad - d)))
-    q_dtype = jnp.bfloat16 if values_t.dtype == jnp.int8 else values_t.dtype
-    qp = qpacked.reshape(g, rg, dim).astype(q_dtype)
-    seg = jnp.asarray(seg, jnp.float32)
+    if qdot_int8:
+        if values_t.dtype != jnp.int8:
+            raise ValueError("qdot_int8 requires an int8 store")
+        from visual_rag_tpu.ops.kernels.maxsim_scan import (
+            quantize_queries_int8,
+        )
+
+        qc, qs = quantize_queries_int8(qpacked)
+        qp = qc.reshape(g, rg, dim)
+        # positive per-row query scales commute with the max over P, so they
+        # fold into the ownership weights (one multiply per [gq, Rg] tile
+        # instead of per [Rg, P*BD] sims tile)
+        seg = jnp.asarray(seg, jnp.float32) * qs.reshape(g, 1, rg)
+    else:
+        q_dtype = jnp.bfloat16 if values_t.dtype == jnp.int8 else values_t.dtype
+        qp = qpacked.reshape(g, rg, dim).astype(q_dtype)
+        seg = jnp.asarray(seg, jnp.float32)
     out = pl.pallas_call(
         _kernel_packed,
         grid=(g, n_blocks),
@@ -224,7 +260,8 @@ def auto_block_d(p: int, itemsize: int, dim: int = 128) -> int:
     return 128
 
 
-@functools.partial(jax.jit, static_argnames=("block_d", "q_chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_d", "q_chunk", "interpret",
+                                              "qdot_int8"))
 def pooled_maxsim_scores_qbatch(
     values_t: jnp.ndarray,  # [P, D, dim] P-leading
     mask_t: jnp.ndarray,  # [P, D]
@@ -234,6 +271,7 @@ def pooled_maxsim_scores_qbatch(
     block_d: int = 256,
     q_chunk: int = 8,
     interpret: bool = False,
+    qdot_int8: bool = False,  # int8 store: quantize queries, int8 MXU dot
 ) -> jnp.ndarray:
     """Query-batched stage-1 scores [B, D]: grid over (query chunks, doc
     blocks) with ``q_chunk`` queries resident per kernel instance. The
@@ -257,8 +295,20 @@ def pooled_maxsim_scores_qbatch(
     if b_pad != b:
         queries = jnp.pad(queries, ((0, b_pad - b), (0, 0), (0, 0)))
         qmask = jnp.pad(qmask, ((0, b_pad - b), (0, 0)))
-    q_dtype = jnp.bfloat16 if values_t.dtype == jnp.int8 else values_t.dtype
-    q_flat = queries.reshape(b_pad * nq, dim).astype(q_dtype)
+    if qdot_int8:
+        if values_t.dtype != jnp.int8:
+            raise ValueError("qdot_int8 requires an int8 store")
+        from visual_rag_tpu.ops.kernels.maxsim_scan import (
+            quantize_queries_int8,
+        )
+
+        q_flat, qs = quantize_queries_int8(queries.reshape(b_pad * nq, dim))
+        # per-row query scales fold into the per-query token weights (they
+        # commute with the max over P); pad rows keep weight 0
+        qmask = qmask * qs.reshape(b_pad, nq)
+    else:
+        q_dtype = jnp.bfloat16 if values_t.dtype == jnp.int8 else values_t.dtype
+        q_flat = queries.reshape(b_pad * nq, dim).astype(q_dtype)
     # doc block inner: the streamed store block is reused across the whole
     # grid row before the next query chunk loads
     out = pl.pallas_call(

@@ -27,6 +27,7 @@ Replaces: the reference's Qdrant-server-as-cluster distribution model
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -45,6 +46,7 @@ from visual_rag_tpu.ops.kernels.maxsim_rerank import (
 )
 from visual_rag_tpu.ops.kernels.maxsim_scan import (
     exhaustive_scores_packed,
+    quantize_queries_int8,
     scan_kernel_fits as _scan_kernel_fits,
 )
 from visual_rag_tpu.ops.kernels.maxsim_sweep import (
@@ -70,6 +72,10 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 NEG_INF = -1e30
+
+# qdot stage-1 opt-out (read once at import — the jit plan caches key on
+# static args only, so a mid-process env flip must not change trace behavior)
+_TOKENS_QDOT = os.environ.get("VISUALRAG_TOKENS_QDOT", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -299,25 +305,36 @@ def _compute_dtype_for(arr):
     return jnp.bfloat16 if arr.dtype == jnp.int8 else arr.dtype
 
 
-def _local_tokens_padded(s1, tokens, qmask, use_pallas):
+def _local_tokens_padded(s1, tokens, qmask, use_pallas, qdot=False):
     vals_t, mask_t = s1["vals_t"], s1["mask_t"]
     scales_t = s1.get("scales_t")  # per-row int8 scales (None for float stores)
     if use_pallas:
         return pooled_maxsim_scores_qbatch(
             vals_t, mask_t, tokens, qmask, scales_t, q_chunk=8,
             block_d=auto_block_d(int(vals_t.shape[0]), vals_t.dtype.itemsize,
-                                 int(vals_t.shape[-1])))
+                                 int(vals_t.shape[-1])),
+            qdot_int8=qdot)
     # XLA fallback straight off the P-leading layout
-    cd = _compute_dtype_for(vals_t)
-    sims = jnp.einsum("bqd,pnd->bqpn", tokens.astype(cd), vals_t.astype(cd),
-                      preferred_element_type=jnp.float32)
+    qw = jnp.asarray(qmask, jnp.float32)
+    if qdot:
+        b, nq, dim = tokens.shape
+        qc, qs = quantize_queries_int8(tokens.reshape(b * nq, dim))
+        sims = jnp.einsum("bqd,pnd->bqpn", qc.reshape(b, nq, dim), vals_t,
+                          preferred_element_type=jnp.int32
+                          ).astype(jnp.float32)
+        qw = qw * qs.reshape(b, nq)  # scales commute with the max over P
+    else:
+        cd = _compute_dtype_for(vals_t)
+        sims = jnp.einsum("bqd,pnd->bqpn", tokens.astype(cd),
+                          vals_t.astype(cd),
+                          preferred_element_type=jnp.float32)
     if scales_t is not None:
         sims = sims * scales_t[None, None, :, :]
     sims = jnp.where(mask_t[None, None, :, :] > 0, sims, NEG_INF)
     per_q = jnp.max(sims, axis=2)  # [B, NQ, Ds]
     has = jnp.max(mask_t, axis=0) > 0
     per_q = jnp.where(has[None, None, :], per_q, 0.0)
-    per_q = per_q * jnp.asarray(qmask, jnp.float32)[:, :, None]
+    per_q = per_q * qw[:, :, None]
     return jnp.sum(per_q, axis=1)
 
 
@@ -513,7 +530,7 @@ def _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
         tokens, qmask, cand, max_len, scales=scales)
 
 
-def _local_tokens_padded_packed(s1, qpacked, seg, use_pallas):
+def _local_tokens_padded_packed(s1, qpacked, seg, use_pallas, qdot=False):
     """Group-packed tokens-vs-padded stage-1 (VERDICT r3 #4): the packed
     [G*Rg, dim] token layout carries ~10% pad rows instead of the padded
     layout's ~50% masked rows, cutting both matmul M-dim and VPU work."""
@@ -528,18 +545,29 @@ def _local_tokens_padded_packed(s1, qpacked, seg, use_pallas):
             vals_t, mask_t, qpacked, seg, scales_t,
             block_d=auto_block_d_packed(
                 int(vals_t.shape[0]), vals_t.dtype.itemsize,
-                int(seg.shape[2]), int(vals_t.shape[-1])))
+                int(seg.shape[2]), int(vals_t.shape[-1])),
+            qdot_int8=qdot)
     g, gq, rg = seg.shape
-    cd = _compute_dtype_for(vals_t)
-    sims = jnp.einsum("md,pnd->mpn", qpacked.astype(cd), vals_t.astype(cd),
-                      preferred_element_type=jnp.float32)
+    segw = jnp.asarray(seg, jnp.float32)
+    if qdot:
+        qc, qs = quantize_queries_int8(qpacked)
+        sims = jnp.einsum("md,pnd->mpn", qc, vals_t,
+                          preferred_element_type=jnp.int32
+                          ).astype(jnp.float32)
+        # positive per-row query scales commute with the max over P -> fold
+        # into the ownership weights (same trick as the Pallas kernel)
+        segw = segw * qs.reshape(g, 1, rg)
+    else:
+        cd = _compute_dtype_for(vals_t)
+        sims = jnp.einsum("md,pnd->mpn", qpacked.astype(cd), vals_t.astype(cd),
+                          preferred_element_type=jnp.float32)
     if scales_t is not None:
         sims = sims * scales_t[None, :, :]
     sims = jnp.where(mask_t[None, :, :] > 0, sims, NEG_INF)
     per_tok = jnp.max(sims, axis=1)  # [G*Rg, D]
     has = jnp.max(mask_t, axis=0) > 0
     per_tok = jnp.where(has[None, :], per_tok, 0.0)
-    out = jnp.einsum("gqr,grn->gqn", jnp.asarray(seg, jnp.float32),
+    out = jnp.einsum("gqr,grn->gqn", segw,
                      per_tok.reshape(g, rg, -1),
                      preferred_element_type=jnp.float32)
     return out.reshape(g * gq, -1)
@@ -607,12 +635,22 @@ def _local_tokens_ragged(ragged, tokens, qmask, packed, max_len,
 
 
 def _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
-                  use_pallas, packed=None, bucket_lens=()):
+                  use_pallas, packed=None, bucket_lens=(), s1_prefetch=False):
     if kind == "tokens_padded":
+        # qdot stage-1 (late r5): on int8 pooled stores a PREFETCH tokens
+        # scan quantizes the query rows too and rides the int8 MXU rate —
+        # the exact rerank that always follows a prefetch re-scores the
+        # final window, so query-rounding noise only perturbs candidate
+        # selection (same argument as the refined-store qdot scan). Modes
+        # whose tokens_padded scores are FINAL (single_tiles /
+        # single_experimental_tokens) keep bf16 queries. Static at trace
+        # time — dtypes + the caller's prefetch flag.
+        qdot = (_TOKENS_QDOT and s1_prefetch
+                and s1["vals_t"].dtype == jnp.int8)
         if packed is not None:
             return _local_tokens_padded_packed(s1, packed["q"], packed["seg"],
-                                               use_pallas)
-        return _local_tokens_padded(s1, tokens, qmask, use_pallas)
+                                               use_pallas, qdot=qdot)
+        return _local_tokens_padded(s1, tokens, qmask, use_pallas, qdot=qdot)
     if kind == "pooled_padded":
         return _local_pooled_padded(s1, pooled)
     if kind == "pooled_single":
@@ -916,7 +954,7 @@ class ShardedEngine(EngineCommon):
                 qwire[0], qwire[1], q3, wire, b, nq)
             scores = _local_stage1(
                 kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
-                use_pallas, packed=packed)
+                use_pallas, packed=packed, s1_prefetch=True)
             scores = jnp.where(mask > 0, scores, NEG_INF)
             if approx and pk_local < ds:
                 v1, i1 = jax.lax.approx_max_k(scores, pk_local)

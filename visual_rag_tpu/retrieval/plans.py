@@ -129,7 +129,7 @@ def two_stage_plan(s1: Dict, ragged: Dict, doc_mask, q1, q2, q3=None,
                    b: int = 0, nq: int = 0, bucket_lens: tuple = ()):
     tokens, qmask, pooled, packed = _prep_wire(q1, q2, q3, wire, b, nq)
     scores = _local_stage1(kind, s1, ragged, tokens, qmask, pooled, ds, max_len,
-                           use_pallas, packed=packed)
+                           use_pallas, packed=packed, s1_prefetch=True)
     _, cand = _topk_masked(scores, pk, doc_mask, approx=approx)
     rr = _local_rerank(ragged, tokens, qmask, cand, max_len, use_pallas,
                        impl=impl, packed=packed, bucket_lens=bucket_lens)
